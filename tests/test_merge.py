@@ -1,0 +1,204 @@
+"""CDC merge engine tests: LWW dedup equivalence, replay convergence,
+idempotence (exactly-once ledger), delete semantics, byte-identical text,
+schema evolution, time travel. These are the engine analog of the
+reference's fake-boundary golden E2E tests
+(``/root/reference/bqloader_test.go:13-77``).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from go_bqloader_spark.functions.webtext import extract_text, extract_text_py
+from go_bqloader_spark.lake import LakeTable
+from go_bqloader_spark.operators import lww_dedup, salted_lww_dedup
+from go_bqloader_spark.sources import expected_final_state, gen_changes
+
+PAGE_COLS = [
+    ("url", "string"),
+    ("warc_ts", "timestamp"),
+    ("html", "binary"),
+    ("text", "string"),
+    ("lang", "string"),
+]
+
+
+def _sorted_state(df):
+    return [
+        (r["url"], str(r["warc_ts"]), r["text"], r["lang"], r["_seq"])
+        for r in df.select("url", "warc_ts", "text", "lang", "_seq")
+        .orderBy("url", "warc_ts")
+        .collect()
+    ]
+
+
+@pytest.fixture(scope="module")
+def changes(spark):
+    return gen_changes(spark, n_events=4000, n_urls=600, n_hosts=20, seed=42).cache()
+
+
+def test_generator_deterministic(spark, changes):
+    again = gen_changes(spark, n_events=4000, n_urls=600, n_hosts=20, seed=42)
+    a = changes.orderBy("seq", "op").collect()
+    b = again.orderBy("seq", "op").collect()
+    assert a == b
+
+
+def test_generator_has_duplicates_and_ops(spark, changes):
+    n = changes.count()
+    d = changes.distinct().count()
+    assert d < n  # verbatim redeliveries exist
+    ops = {r["op"] for r in changes.select("op").distinct().collect()}
+    assert ops == {"I", "U", "D"}
+
+
+def test_salted_dedup_equals_plain(spark, changes):
+    plain = lww_dedup(changes)
+    salted = salted_lww_dedup(changes, n_salts=8)
+    a = sorted(map(tuple, plain.select("url", "warc_ts", "seq").collect()))
+    b = sorted(map(tuple, salted.select("url", "warc_ts", "seq").collect()))
+    assert a == b
+
+
+def _make_table(spark, tmp_path, **kw):
+    return LakeTable.create(
+        spark, str(tmp_path / "tbl"), PAGE_COLS, key=["url", "warc_ts"], **kw
+    )
+
+
+def test_single_batch_merge_converges(spark, tmp_path, changes):
+    t = _make_table(spark, tmp_path, n_buckets=8)
+    t.merge(changes, batch_key=("q", 0))
+    got = _sorted_state(t.read())
+    exp = _sorted_state(expected_final_state(changes))
+    assert got == exp
+
+
+@pytest.mark.parametrize("n_batches", [3, 7])
+def test_multi_batch_replay_converges(spark, tmp_path, changes, n_batches):
+    """Any batch split of the log converges to the same final state."""
+    t = _make_table(spark, tmp_path, n_buckets=8)
+    for i in range(n_batches):
+        batch = changes.filter(F.pmod(F.col("seq"), n_batches) == i)
+        t.merge(batch, batch_key=("q", i))
+    # NOTE: splitting by seq%n means later batches can carry EARLIER seqs
+    # (out-of-order replay) — convergence must still hold.
+    got = _sorted_state(t.read())
+    exp = _sorted_state(expected_final_state(changes))
+    assert got == exp
+
+
+def test_idempotent_redelivery(spark, tmp_path, changes):
+    """Re-merging an already-committed batch key is a no-op (exactly-once)."""
+    t = _make_table(spark, tmp_path, n_buckets=8)
+    b0 = changes.filter(F.col("seq") < 2000)
+    b1 = changes.filter(F.col("seq") >= 2000)
+    t.merge(b0, batch_key=("q", 0))
+    t.merge(b1, batch_key=("q", 1))
+    v = t.current_version()
+    state = _sorted_state(t.read())
+    s = t.merge(b0, batch_key=("q", 0))  # redelivery
+    assert s.skipped
+    assert t.current_version() == v
+    assert _sorted_state(t.read()) == state
+
+
+def test_reapplying_older_changes_is_noop(spark, tmp_path, changes):
+    """Replaying old events WITHOUT the ledger still converges (LWW by seq)."""
+    t = _make_table(spark, tmp_path, n_buckets=8)
+    t.merge(changes, batch_key=("q", 0))
+    state = _sorted_state(t.read())
+    t.merge(changes.filter(F.col("seq") < 1000), batch_key=("q", 99))
+    assert _sorted_state(t.read()) == state
+
+
+def test_delete_semantics(spark, tmp_path):
+    rows = [
+        ("I", 1, "2024-01-01 00:00:01", "https://a/x", "2024-01-01 00:00:00", b"<p>v1</p>", "v1", "en"),
+        ("U", 2, "2024-01-01 00:00:02", "https://a/x", "2024-01-01 00:00:00", b"<p>v2</p>", "v2", "en"),
+        ("D", 3, "2024-01-01 00:00:03", "https://a/x", "2024-01-01 00:00:00", None, None, None),
+        ("I", 4, "2024-01-01 00:00:04", "https://a/y", "2024-01-01 00:00:00", b"<p>y</p>", "y", "en"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "op string, seq bigint, commit_ts string, url string, warc_ts string, html binary, text string, lang string",
+    ).select(
+        "op", "seq",
+        F.to_timestamp("commit_ts").alias("commit_ts"),
+        "url",
+        F.to_timestamp("warc_ts").alias("warc_ts"),
+        "html", "text", "lang",
+    )
+    t = _make_table(spark, tmp_path, n_buckets=4)
+    t.merge(df, batch_key=("q", 0))
+    got = _sorted_state(t.read())
+    assert got == [("https://a/y", "2024-01-01 00:00:00", "y", "en", 4)]
+    # late redelivery of seq 2 must NOT resurrect the deleted key
+    t.merge(df.filter(F.col("seq") == 2), batch_key=("q", 1))
+    assert _sorted_state(t.read()) == got
+
+
+def test_byte_identical_text_invariant(spark, tmp_path, changes):
+    """BASELINE.json input_hint: byte-identical extracted text per url."""
+    t = _make_table(spark, tmp_path, n_buckets=8)
+    t.merge(changes, batch_key=("q", 0))
+    final = t.read()
+    mismatch = final.filter(
+        F.col("text") != extract_text(F.col("html"))
+    ).count()
+    assert mismatch == 0
+    # cross-check one row against the Python mirror of the extractor
+    row = final.orderBy("url", "warc_ts").first()
+    assert row["text"] == extract_text_py(bytes(row["html"]))
+
+
+def test_schema_evolution_mid_replay(spark, tmp_path, changes):
+    """Add + rename columns between batches; old files reconcile on read."""
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / "tbl"),
+        [("url", "string"), ("warc_ts", "timestamp"), ("html", "binary"), ("text", "string")],
+        key=["url", "warc_ts"],
+        n_buckets=8,
+    )
+    early = changes.filter(F.col("seq") < 2000).drop("lang")
+    t.merge(early, batch_key=("q", 0))
+    t.add_column("lang", "string")
+    t.rename_column("text", "body_text")
+    late = changes.filter(F.col("seq") >= 2000).withColumnRenamed("text", "body_text")
+    t.merge(late, batch_key=("q", 1))
+
+    final = t.read()
+    assert set(final.columns) == {"url", "warc_ts", "html", "body_text", "lang", "_seq"}
+    exp = expected_final_state(changes)
+    got = sorted(
+        (r["url"], str(r["warc_ts"]), r["body_text"], r["_seq"])
+        for r in final.collect()
+    )
+    want = sorted(
+        (r["url"], str(r["warc_ts"]), r["text"], r["_seq"]) for r in exp.collect()
+    )
+    assert got == want
+    # lang is NULL for rows last touched before evolution, set after
+    assert final.filter(F.col("lang").isNotNull()).count() > 0
+
+
+def test_time_travel_and_history(spark, tmp_path, changes):
+    t = _make_table(spark, tmp_path, n_buckets=8)
+    b0 = changes.filter(F.col("seq") < 2000)
+    t.merge(b0, batch_key=("q", 0))
+    v1 = t.current_version()
+    state_v1 = _sorted_state(t.read())
+    t.merge(changes.filter(F.col("seq") >= 2000), batch_key=("q", 1))
+    assert _sorted_state(t.read(version=v1)) == state_v1
+    ops = [h["summary"]["operation"] for h in t.history()]
+    assert ops == ["create", "merge", "merge"]
+
+
+def test_lineage_metrics_and_watermarks(spark, tmp_path, changes):
+    t = _make_table(spark, tmp_path, n_buckets=8)
+    t.merge(changes.filter(F.col("seq") < 2000), batch_key=("q", 0))
+    t.merge(changes.filter(F.col("seq") >= 2000), batch_key=("q", 1))
+    m = t.metrics()
+    assert m.count() > 0
+    wm = t.resume_watermarks()
+    assert max(wm.values()) == 3999
