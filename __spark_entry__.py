@@ -1,38 +1,69 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship CDC pipeline end-to-end: the sf0.001 ``events``
+table is treated as a binlog/WAL change feed, applied as an idempotent
+key-partitioned MERGE into a snapshot-versioned lake table in a tempdir,
+and the converged state is returned. ``queries``/``oracle_sql`` expose every
+implemented operator (SURVEY.md §2 + training-data ops) with DuckDB
+oracles — see go_bqloader_spark/plans/queries.py.
 """
 
 from __future__ import annotations
 
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from go_bqloader_spark.lake import LakeTable
+from go_bqloader_spark.plans import ORACLE_SQL, QUERIES
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: replay the sf0.001 events table as a change log through
+    the MERGE engine (3 out-of-order batches, exactly-once ledger) and
+    return the converged table state."""
+    sf_dir = "/root/testdata/sf0.001"
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    changes = e.select(
+        F.when(F.col("event_type") == "signup", "I")
+        .when(F.col("event_type") == "error", "D")
+        .otherwise("U")
+        .alias("op"),
+        F.col("event_id").alias("seq"),
+        F.col("user_id").cast("string").alias("url"),
+        F.col("ts").alias("warc_ts"),
+        F.col("event_type"),
+        F.col("value"),
+    )
+    # key = user only (url-analog); warc_ts is payload here
+    tmp = tempfile.mkdtemp(prefix="entry_lake_")
+    table = LakeTable.create(
+        spark,
+        f"{tmp}/state",
+        [
+            ("url", "string"),
+            ("warc_ts", "timestamp"),
+            ("event_type", "string"),
+            ("value", "double"),
+        ],
+        key=["url"],
+        n_buckets=8,
+    )
+    for i in range(3):
+        table.merge(
+            changes.filter(F.pmod(F.col("seq"), 3) == i), batch_key=("entry", i)
+        )
+    return table.read()
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2 (+ training-data
+    pipeline ops). Each callable takes (spark, sf_dir) → DataFrame."""
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL equivalent for each query."""
+    return dict(ORACLE_SQL)

@@ -1,0 +1,131 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS], plus the north-star CDC apply phase
+(change-event MERGE throughput into the lake table).
+
+Prints ONE JSON line:
+{"metric": "...", "value": <sec>, "unit": "sec", "queries": {...}, "sf": ...,
+ "cdc": {"events": N, "events_per_sec": ..., ...}}
+
+The CDC feed is generated once (untimed) and staged to parquet; only the
+replay (batched MERGE with exactly-once ledger) is timed — that is the
+metric BASELINE.md targets. Scaling evidence across two parallelism levels
+is produced by tools/bench_scaling.py → BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from go_bqloader_spark.lake import LakeTable  # noqa: E402
+from go_bqloader_spark.plans import QUERIES  # noqa: E402
+from go_bqloader_spark.session import build_session  # noqa: E402
+from go_bqloader_spark.sources import CHANGE_SCHEMA, gen_changes  # noqa: E402
+
+HEADLINE = [
+    "lww_dedup",
+    "salted_lww_dedup",
+    "cdc_merge_state",
+    "cdc_batch_metrics",
+    "clean_number",
+    "date_normalize",
+    "era_dates",
+    "token_stats",
+    "quality_score",
+    "exact_dedup",
+    "ann_cosine_topk",
+    "pricing_summary",
+    "broadcast_enrich",
+]
+
+PAGE_COLS = [
+    ("url", "string"),
+    ("warc_ts", "timestamp"),
+    ("html", "binary"),
+    ("text", "string"),
+    ("lang", "string"),
+]
+
+
+def run_cdc_apply(spark, n_events: int, n_batches: int, n_buckets: int, work: str):
+    feed_dir = os.path.join(work, "feed")
+    gen_changes(
+        spark,
+        n_events,
+        n_urls=max(1000, n_events // 5),
+        n_hosts=200,
+        seed=42,
+        partitions=spark.sparkContext.defaultParallelism * 2,
+    ).withColumn("batch", F.pmod(F.col("seq"), n_batches)).write.partitionBy(
+        "batch"
+    ).mode("overwrite").parquet(feed_dir)
+
+    table = LakeTable.create(
+        spark, os.path.join(work, "pages"), PAGE_COLS, key=["url", "warc_ts"],
+        n_buckets=n_buckets,
+    )
+    t0 = time.time()
+    for i in range(n_batches):
+        batch = spark.read.schema(CHANGE_SCHEMA).parquet(f"{feed_dir}/batch={i}")
+        table.merge(batch, batch_key=("bench", i))
+    wall = time.time() - t0
+    final_rows = table.read().count()
+    return wall, final_rows
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_events = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", "2000000"))
+    n_batches = int(os.environ.get("SPARK_GRAFT_BENCH_BATCHES", "8"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    spark = build_session(
+        app_name="bench", master=f"local[{cpus}]", shuffle_partitions=cpus
+    )
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        times[name] = round(time.time() - t0, 3)
+
+    work = tempfile.mkdtemp(prefix="bench_cdc_")
+    try:
+        t0 = time.time()
+        apply_wall, final_rows = run_cdc_apply(
+            spark, n_events, n_batches, n_buckets=2 * cpus, work=work
+        )
+        total = time.time() - t0
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    times["cdc_apply"] = round(apply_wall, 3)
+
+    out = {
+        "metric": "cdc_apply_wall_sec",
+        "value": round(apply_wall, 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "cdc": {
+            "events": n_events,
+            "batches": n_batches,
+            "events_per_sec": round(n_events / apply_wall, 1),
+            "final_rows": final_rows,
+            "total_incl_setup_sec": round(total, 3),
+            "cpus": cpus,
+        },
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -11,29 +11,41 @@ interface (SURVEY.md §7 names this exact fallback):
   mix. Time travel = read any retained manifest version.
 - **Bucket partitioning + pruning** — rows are hash-bucketed on ``url``
   (``pmod(xxhash64(url), n_buckets)``, the Iceberg ``bucket(N, url)``
-  transform). A MERGE rewrites only the buckets its change batch touches;
-  untouched buckets carry over by manifest reference — the copy-on-write
-  analog of Iceberg file-level pruning. At 10^10 rows with n_buckets=4096 a
-  batch touching 3 domains rewrites a handful of buckets, not the table.
-- **Exactly-once offset ledger** — the manifest embeds the set of applied
-  ``(query_id, batch_id)`` keys; a MERGE whose batch key is already present
-  is a no-op. Because the ledger entry and the data rewrite land in ONE
-  atomic pointer swap, redelivered batches (Spark ``foreachBatch`` is
-  at-least-once) cannot double-apply. The reference has no such protection
-  (duplicate event ⇒ duplicate rows, ``/root/reference/loader.go:33-60``).
+  transform). Merges touch only the buckets their change batch maps to;
+  untouched buckets carry over by manifest reference (the file-pruning
+  analog). At 10^10 rows with n_buckets=4096 a batch touching 3 domains
+  touches a handful of buckets, not the table.
+- **Two write modes** (Iceberg copy-on-write vs merge-on-read):
+  * ``cow`` — merge rewrites affected buckets: (existing ∪ winners) → one
+    LWW window → new base files. Read-optimized; write cost O(bucket).
+  * ``mor`` (default) — merge APPENDS the deduped winners as delta files
+    per bucket, never reading the base: write cost O(batch) — this is what
+    sustains CDC apply throughput at 10^10 events. Reads resolve
+    base+deltas with the same LWW window; ``compact()`` folds a bucket's
+    entries back to a single base file (run it every N batches or when
+    ``entries_per_bucket`` exceeds a threshold).
+- **Exactly-once offset ledger** — the manifest embeds applied
+  ``(query_id, batch_id)`` keys; a merge whose batch key is present is a
+  no-op. Ledger entry and data land in ONE atomic pointer swap, so
+  redelivered ``foreachBatch`` batches (at-least-once) cannot double-apply.
+  The reference has no such protection (duplicate event ⇒ duplicate rows,
+  ``/root/reference/loader.go:33-60``).
+- **Tombstones** — a delete persists as a hidden ``_deleted`` row so a
+  late-replayed OLDER insert/update cannot resurrect the key; ``read()``
+  hides them; ``compact(expire_tombstones=True)`` drops them once replay
+  has passed.
 - **Schema evolution** — fields carry stable ids (Iceberg-style); add /
   rename are manifest-only commits; old data files are reconciled on read
   by id→current-name mapping with NULL fill.
-- **Lineage metrics** — every commit appends per-bucket applied-offset
-  watermarks and row counts to ``_metrics/`` (the Notifier analog,
-  ``/root/reference/notifier.go:17-19``); resumable replay = max applied
-  seq per bucket.
+- **Lineage metrics** — every merge embeds per-bucket applied-offset
+  watermarks and row counts in its manifest (the Notifier analog,
+  ``/root/reference/notifier.go:17-19``), so lineage commits atomically
+  with the data and costs no extra Spark job; resumable replay = max
+  applied seq per bucket (``resume_watermarks``).
 
-MERGE itself is shuffle-minimal: changes are reduced to one winner per key
-by a salted two-phase LWW dedup (operators.merge), then the surviving
-target rows are computed by ONE window over (existing ∪ winners) within the
-affected buckets — no join, one shuffle on the change key. Delete = winner
-with op='D' drops the key; insert/update = winner row becomes the row.
+Shuffle budget per merge: the salted two-phase LWW dedup (map-side partial
+agg + one shuffle on key) and, in mor mode, one exchange to cluster winners
+by bucket for the partitioned write. Nothing else moves.
 """
 
 from __future__ import annotations
@@ -96,26 +108,24 @@ class LakeTable:
         key: list[str] | None = None,
         n_buckets: int = 32,
         bucket_col: str = "url",
+        write_mode: str = "mor",
     ) -> "LakeTable":
         """Create an empty table. ``columns`` = [(name, ddl_type), ...].
 
-        The engine column ``_seq`` (last applied change seq per row) is
-        always appended — it is both the LWW tiebreaker on merge and the
-        per-row lineage watermark.
+        Engine columns always appended: ``_seq`` (last applied change seq
+        per row — LWW tiebreaker + per-row lineage watermark) and
+        ``_deleted`` (tombstone marker).
         """
+        assert write_mode in ("mor", "cow")
         key = key or ["url", "warc_ts"]
         os.makedirs(os.path.join(path, _MANIFESTS), exist_ok=True)
         fields = [
             {"id": i + 1, "name": n, "type": t} for i, (n, t) in enumerate(columns)
         ]
         fields.append({"id": 0, "name": SEQ_COL, "type": "bigint"})
-        # tombstone marker: deletes persist as hidden rows so that a
-        # late-replayed OLDER insert/update cannot resurrect a deleted key
-        # (the CDC tombstone problem; read() hides them, compaction expires
-        # them once the replay watermark has passed their seq)
         fields.append({"id": -1, "name": DELETED_COL, "type": "boolean"})
         manifest = {
-            "format_version": 1,
+            "format_version": 2,
             "version": 0,
             "parent": None,
             "schema_version": 0,
@@ -123,6 +133,7 @@ class LakeTable:
             "key": key,
             "bucket_col": bucket_col,
             "n_buckets": n_buckets,
+            "write_mode": write_mode,
             "buckets": {},
             "ledger": {},
             "summary": {"operation": "create"},
@@ -212,20 +223,12 @@ class LakeTable:
         m2["parent"] = m["version"]
         m2["version"] = m["version"] + 1
         m2["summary"] = {"operation": op}
+        m2["metrics"] = []
         self._write_manifest(m2, expected_parent=m["version"])
 
     # ---------------------------------------------------------------- read
-    def read(
-        self,
-        version: int | None = None,
-        buckets: list[int] | None = None,
-        include_deleted: bool = False,
-    ) -> DataFrame:
-        """Read a snapshot, reconciling old-schema files by field id.
-
-        Tombstone rows (``_deleted``) are hidden unless requested.
-        """
-        m = self.manifest(version)
+    def _read_raw(self, m: dict[str, Any], buckets: list[int] | None) -> DataFrame | None:
+        """Union all data files (schema-reconciled), no LWW resolution."""
         current = self.schema_fields(m)
         groups: dict[str, list[str]] = {}
         for b, entries in m["buckets"].items():
@@ -236,8 +239,7 @@ class LakeTable:
                     os.path.join(self.path, e["path"])
                 )
         if not groups:
-            empty = self.spark.createDataFrame([], self.spark_schema(m))
-            return empty if include_deleted else empty.drop(DELETED_COL)
+            return None
         parts = []
         for sv, paths in groups.items():
             file_fields = {f["id"]: f for f in m["schemas"][sv]}
@@ -253,11 +255,41 @@ class LakeTable:
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
+        return out
+
+    def _needs_resolve(self, m: dict[str, Any], buckets: list[int] | None) -> bool:
+        return any(
+            len(entries) > 1
+            for b, entries in m["buckets"].items()
+            if buckets is None or int(b) in buckets
+        )
+
+    def read(
+        self,
+        version: int | None = None,
+        buckets: list[int] | None = None,
+        include_deleted: bool = False,
+    ) -> DataFrame:
+        """Read a snapshot. In mor mode, base+delta files are resolved with
+        one LWW window (skipped automatically when every bucket has a
+        single base entry). Tombstones are hidden unless requested."""
+        m = self.manifest(version)
+        raw = self._read_raw(m, buckets)
+        if raw is None:
+            empty = self.spark.createDataFrame([], self.spark_schema(m))
+            return empty if include_deleted else empty.drop(DELETED_COL)
+        if self._needs_resolve(m, buckets):
+            w = W.partitionBy(*m["key"]).orderBy(F.col(SEQ_COL).desc())
+            raw = (
+                raw.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
+            )
         if not include_deleted:
-            out = out.filter(~F.coalesce(F.col(DELETED_COL), F.lit(False))).drop(
+            raw = raw.filter(~F.coalesce(F.col(DELETED_COL), F.lit(False))).drop(
                 DELETED_COL
             )
-        return out
+        return raw
 
     # --------------------------------------------------------------- merge
     def _bucket_expr(self, m: dict[str, Any]) -> F.Column:
@@ -265,6 +297,20 @@ class LakeTable:
 
     def committed(self, query_id: str, batch_id: int) -> bool:
         return str(batch_id) in self.manifest()["ledger"].get(query_id, {})
+
+    def _align_changes(self, m: dict[str, Any], changes: DataFrame) -> DataFrame:
+        """Normalize change columns to the current schema (NULL-fill absent
+        columns — how a pre-evolution replay writes a post-evolution
+        schema)."""
+        proj = [F.col("op"), F.col("seq")]
+        for f in self.schema_fields(m):
+            if f["name"] in (SEQ_COL, DELETED_COL):
+                continue
+            if f["name"] in changes.columns:
+                proj.append(F.col(f["name"]))
+            else:
+                proj.append(F.lit(None).cast(_spark_type(f["type"])).alias(f["name"]))
+        return changes.select(*proj)
 
     def merge(
         self,
@@ -275,9 +321,7 @@ class LakeTable:
     ) -> MergeStats:
         """Apply a change batch: LWW upsert + delete, exactly-once.
 
-        ``changes`` columns: ``op ('I'|'U'|'D'), seq`` + the table's data
-        columns (missing data columns are treated as NULL — this is how a
-        pre-evolution replay writes a post-evolution schema).
+        ``changes`` columns: ``op ('I'|'U'|'D'), seq`` + data columns.
         """
         m = self.manifest()
         version = m["version"]
@@ -287,20 +331,12 @@ class LakeTable:
                 return MergeStats(version, True, [], 0, 0, None)
 
         key = m["key"]
-        fields = self.schema_fields(m)
-        engine_cols = (SEQ_COL, DELETED_COL)
-        data_cols = [f["name"] for f in fields if f["name"] not in engine_cols]
-
-        # normalize change columns to the current schema (NULL-fill absent)
-        proj = [F.col("op"), F.col("seq")]
-        for f in fields:
-            if f["name"] in engine_cols:
-                continue
-            if f["name"] in changes.columns:
-                proj.append(F.col(f["name"]))
-            else:
-                proj.append(F.lit(None).cast(_spark_type(f["type"])).alias(f["name"]))
-        changes = changes.select(*proj)
+        data_cols = [
+            f["name"]
+            for f in self.schema_fields(m)
+            if f["name"] not in (SEQ_COL, DELETED_COL)
+        ]
+        changes = self._align_changes(m, changes)
 
         if salted:
             winners = salted_lww_dedup(changes, key=key, order_col="seq", n_salts=n_salts)
@@ -308,50 +344,7 @@ class LakeTable:
             winners = lww_dedup(changes, key=key, order_col="seq")
         winners = winners.withColumn("__b", self._bucket_expr(m)).persist()
 
-        affected = sorted(
-            r["__b"] for r in winners.select("__b").distinct().collect()
-        )
-        if not affected:
-            winners.unpersist()
-            return self._commit_noop(m, batch_key)
-
-        existing = self.read(buckets=affected, include_deleted=True).withColumn(
-            "__b", self._bucket_expr(m)
-        )
-        # existing rows join the race as op='E' (live) or op='D' (tombstone)
-        # with their stored _seq; one window decides every key's survivor.
-        # A winning 'D' persists as a tombstone so a late-replayed older
-        # update cannot resurrect the key.
-        ex = existing.select(
-            F.when(F.col(DELETED_COL), F.lit("D")).otherwise(F.lit("E")).alias("op"),
-            F.col(SEQ_COL).alias("seq"),
-            *data_cols,
-            "__b",
-        )
-        all_rows = ex.unionByName(winners.select("op", "seq", *data_cols, "__b"))
-        w = W.partitionBy(*key).orderBy(F.col("seq").desc(), F.col("op").asc())
-        survivors = (
-            all_rows.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .select(
-                *data_cols,
-                F.col("seq").alias(SEQ_COL),
-                (F.col("op") == "D").alias(DELETED_COL),
-                F.col("__b").alias("b"),
-            )
-        )
-
-        commit_id = uuid.uuid4().hex[:12]
-        rel = os.path.join("data", f"c{m['version'] + 1:08d}_{commit_id}")
-        out_dir = os.path.join(self.path, rel)
-        (
-            survivors.repartition(max(len(affected), 1), F.col("b"))
-            .write.partitionBy("b")
-            .mode("overwrite")
-            .parquet(out_dir)
-        )
-
-        # ---- lineage metrics (Notifier analog): per-bucket applied offsets
+        # ONE pass computes affected buckets + per-bucket lineage stats
         stats_rows = (
             winners.groupBy("__b")
             .agg(
@@ -361,41 +354,99 @@ class LakeTable:
             )
             .collect()
         )
+        affected = sorted(int(r["__b"]) for r in stats_rows)
+        if not affected:
+            winners.unpersist()
+            return self._commit_noop(m, batch_key)
+
+        if m.get("write_mode", "cow") == "mor":
+            out_rows = winners.select(
+                *data_cols,
+                F.col("seq").alias(SEQ_COL),
+                (F.col("op") == "D").alias(DELETED_COL),
+                F.col("__b").alias("b"),
+            )
+            replace = False
+        else:
+            existing = self.read(buckets=affected, include_deleted=True).withColumn(
+                "__b", self._bucket_expr(m)
+            )
+            # existing rows join the race as op='E' (live) / 'D' (tombstone)
+            # with their stored _seq; one window decides every survivor.
+            ex = existing.select(
+                F.when(F.col(DELETED_COL), F.lit("D")).otherwise(F.lit("E")).alias("op"),
+                F.col(SEQ_COL).alias("seq"),
+                *data_cols,
+                "__b",
+            )
+            all_rows = ex.unionByName(winners.select("op", "seq", *data_cols, "__b"))
+            w = W.partitionBy(*key).orderBy(F.col("seq").desc(), F.col("op").asc())
+            out_rows = (
+                all_rows.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .select(
+                    *data_cols,
+                    F.col("seq").alias(SEQ_COL),
+                    (F.col("op") == "D").alias(DELETED_COL),
+                    F.col("__b").alias("b"),
+                )
+            )
+            replace = True
+
+        commit_id = uuid.uuid4().hex[:12]
+        rel = os.path.join("data", f"c{m['version'] + 1:08d}_{commit_id}")
+        out_dir = os.path.join(self.path, rel)
+        (
+            out_rows.repartition(max(len(affected), 1), F.col("b"))
+            .write.partitionBy("b")
+            .mode("overwrite")
+            .parquet(out_dir)
+        )
         winners.unpersist()
+
         rows_upserted = sum(r["rows_upserted"] for r in stats_rows)
         rows_deleted = sum(r["rows_deleted"] for r in stats_rows)
         max_seq = max((r["applied_max_seq"] for r in stats_rows), default=None)
-        self._write_metrics(m["version"] + 1, batch_key, stats_rows)
 
-        # ---- new manifest: replace affected buckets, carry the rest over
-        new_buckets = {
-            b: entries for b, entries in m["buckets"].items() if int(b) not in affected
-        }
         written = {
-            int(d.split("=", 1)[1])
-            for d in os.listdir(out_dir)
-            if d.startswith("b=")
+            int(d.split("=", 1)[1]) for d in os.listdir(out_dir) if d.startswith("b=")
         }
+        new_buckets = {b: list(entries) for b, entries in m["buckets"].items()}
+        if replace:
+            for b in affected:
+                new_buckets.pop(str(b), None)
         for b in sorted(written):
-            new_buckets[str(b)] = [
-                {"path": os.path.join(rel, f"b={b}"), "schema_version": m["schema_version"]}
-            ]
-        for b in affected:
-            if b not in written:
-                new_buckets.pop(str(b), None)  # bucket fully deleted
+            entry = {"path": os.path.join(rel, f"b={b}"), "schema_version": m["schema_version"]}
+            new_buckets.setdefault(str(b), []).append(entry)
 
         ledger = {q: dict(v) for q, v in m["ledger"].items()}
         if batch_key is not None:
             ledger.setdefault(batch_key[0], {})[str(batch_key[1])] = max_seq
+        qid, bid = batch_key if batch_key else ("", -1)
         m2 = dict(
             m,
             version=m["version"] + 1,
             parent=m["version"],
             buckets=new_buckets,
             ledger=ledger,
+            # per-bucket lineage metrics ride in the manifest: no extra
+            # Spark job per batch, and they commit atomically WITH the data
+            metrics=[
+                [
+                    m["version"] + 1,
+                    qid,
+                    bid,
+                    int(r["__b"]),
+                    r["applied_max_seq"],
+                    r["rows_upserted"],
+                    r["rows_deleted"],
+                ]
+                for r in stats_rows
+            ],
             summary={
                 "operation": "merge",
-                "affected_buckets": affected,
+                "mode": m.get("write_mode", "cow"),
+                "affected_buckets": len(affected),
                 "rows_upserted": rows_upserted,
                 "rows_deleted": rows_deleted,
                 "max_seq": max_seq,
@@ -415,58 +466,99 @@ class LakeTable:
             version=m["version"] + 1,
             parent=m["version"],
             ledger=ledger,
-            summary={"operation": "merge", "affected_buckets": [], "rows_upserted": 0, "rows_deleted": 0},
+            metrics=[],
+            summary={"operation": "merge", "affected_buckets": 0, "rows_upserted": 0, "rows_deleted": 0},
         )
         self._write_manifest(m2, expected_parent=m["version"])
         return MergeStats(m2["version"], False, [], 0, 0, None)
 
-    # -------------------------------------------------------------- metrics
-    def _write_metrics(
+    # ------------------------------------------------------------- compact
+    def entries_per_bucket(self) -> dict[int, int]:
+        m = self.manifest()
+        return {int(b): len(e) for b, e in m["buckets"].items()}
+
+    def compact(
         self,
-        version: int,
-        batch_key: tuple[str, int] | None,
-        stats_rows: list,
-    ) -> None:
-        if not stats_rows:
-            return
-        qid, bid = batch_key if batch_key else ("", -1)
-        schema = T.StructType(
-            [
-                T.StructField("commit_version", T.LongType()),
-                T.StructField("query_id", T.StringType()),
-                T.StructField("batch_id", T.LongType()),
-                T.StructField("bucket", T.IntegerType()),
-                T.StructField("applied_max_seq", T.LongType()),
-                T.StructField("rows_upserted", T.LongType()),
-                T.StructField("rows_deleted", T.LongType()),
-            ]
-        )
-        rows = [
-            (version, qid, bid, int(r["__b"]), r["applied_max_seq"], r["rows_upserted"], r["rows_deleted"])
-            for r in stats_rows
+        buckets: list[int] | None = None,
+        expire_tombstones: bool = False,
+        min_entries: int = 2,
+    ) -> int:
+        """Fold a bucket's base+delta entries into one resolved base file.
+
+        Returns the number of buckets compacted. ``expire_tombstones``
+        additionally drops tombstone rows — only safe once no replay can
+        deliver seqs older than the tombstones (e.g. after a full replay
+        or when the offset ledger bounds redelivery).
+        """
+        m = self.manifest()
+        targets = [
+            int(b)
+            for b, entries in m["buckets"].items()
+            if (buckets is None or int(b) in buckets) and len(entries) >= min_entries
         ]
+        if not targets:
+            return 0
+        resolved = self.read(buckets=targets, include_deleted=True)
+        if expire_tombstones:
+            resolved = resolved.filter(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
+        resolved = resolved.withColumn("b", self._bucket_expr(m))
+
+        commit_id = uuid.uuid4().hex[:12]
+        rel = os.path.join("data", f"c{m['version'] + 1:08d}_{commit_id}_compact")
+        out_dir = os.path.join(self.path, rel)
         (
-            self.spark.createDataFrame(rows, schema)
-            .coalesce(1)
-            .write.mode("append")
-            .parquet(os.path.join(self.path, "_metrics"))
+            resolved.repartition(max(len(targets), 1), F.col("b"))
+            .write.partitionBy("b")
+            .mode("overwrite")
+            .parquet(out_dir)
         )
+        written = {
+            int(d.split("=", 1)[1]) for d in os.listdir(out_dir) if d.startswith("b=")
+        }
+        new_buckets = {b: list(entries) for b, entries in m["buckets"].items()}
+        for b in targets:
+            new_buckets.pop(str(b), None)
+        for b in sorted(written):
+            new_buckets[str(b)] = [
+                {"path": os.path.join(rel, f"b={b}"), "schema_version": m["schema_version"]}
+            ]
+        m2 = dict(
+            m,
+            version=m["version"] + 1,
+            parent=m["version"],
+            buckets=new_buckets,
+            metrics=[],
+            summary={"operation": "compact", "buckets": len(targets)},
+        )
+        self._write_manifest(m2, expected_parent=m["version"])
+        return len(targets)
+
+    # -------------------------------------------------------------- metrics
+    _METRICS_SCHEMA = (
+        "commit_version bigint, query_id string, batch_id bigint, bucket int, "
+        "applied_max_seq bigint, rows_upserted bigint, rows_deleted bigint"
+    )
 
     def metrics(self) -> DataFrame:
-        p = os.path.join(self.path, "_metrics")
-        if not os.path.exists(p):
-            return self.spark.createDataFrame(
-                [], "commit_version bigint, query_id string, batch_id bigint, "
-                "bucket int, applied_max_seq bigint, rows_upserted bigint, rows_deleted bigint"
-            )
-        return self.spark.read.parquet(p)
+        """Lineage/metrics table: one row per (commit, bucket), accumulated
+        from the manifest chain (committed atomically with each merge)."""
+        rows = []
+        v = self.current_version()
+        while v is not None:
+            m = self.manifest(v)
+            rows.extend(tuple(r) for r in m.get("metrics", []))
+            v = m["parent"]
+        return self.spark.createDataFrame(rows, self._METRICS_SCHEMA)
 
     def resume_watermarks(self) -> dict[int, int]:
         """Per-bucket max applied seq — the resumable-replay watermark."""
-        rows = (
-            self.metrics()
-            .groupBy("bucket")
-            .agg(F.max("applied_max_seq").alias("w"))
-            .collect()
-        )
-        return {r["bucket"]: r["w"] for r in rows}
+        wm: dict[int, int] = {}
+        v = self.current_version()
+        while v is not None:
+            m = self.manifest(v)
+            for r in m.get("metrics", []):
+                b, s = int(r[3]), r[4]
+                if s is not None and (b not in wm or s > wm[b]):
+                    wm[b] = s
+            v = m["parent"]
+        return wm

@@ -1,0 +1,705 @@
+"""Driver-contract query registry: Spark implementation + DuckDB oracle.
+
+Every operator the engine claims (SURVEY.md §2 + the training-data-pipeline
+ops) is exposed here as a named query over the shared test tables so the
+driver can verify it row-for-row against ANSI SQL. Conventions:
+
+- every computed column is aliased IDENTICALLY in Spark and SQL;
+- money/statistics go through ``DECIMAL`` casts so sums are exact and
+  independent of float summation order;
+- unavoidable float math (cosine similarity) is rounded then cast to
+  DECIMAL on both sides;
+- queries are pure DataFrame plans — no collect, no Python in the row path
+  (the only pandas UDFs in the engine live in the multimodal module).
+
+CDC-shaped queries treat the ``events`` table as a change log:
+``event_id`` is the total order (seq), ``user_id`` the change key, and
+``event_type`` maps to op: signup→I, error→D, else U — mirroring the
+engine's binlog semantics (SURVEY.md §2.4) in an oracle-checkable form.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from go_bqloader_spark.functions.transforms import (
+    clean_number,
+    normalize_date,
+    normalize_date_compact,
+    parse_era_date,
+    payment_month_from_path,
+)
+from go_bqloader_spark.operators.merge import lww_dedup, salted_lww_dedup
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------- CDC
+def _events_as_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    op = (
+        F.when(F.col("event_type") == "signup", "I")
+        .when(F.col("event_type") == "error", "D")
+        .otherwise("U")
+    )
+    return e.select(
+        op.alias("op"),
+        F.col("event_id").alias("seq"),
+        "user_id",
+        "event_type",
+        "ts",
+        "value",
+    )
+
+
+_CHANGES_SQL = """
+    SELECT CASE WHEN event_type = 'signup' THEN 'I'
+                WHEN event_type = 'error' THEN 'D'
+                ELSE 'U' END AS op,
+           event_id AS seq, user_id, event_type, ts, value
+    FROM events
+"""
+
+
+def q_lww_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star op: last-writer-wins dedup via window ranking."""
+    c = _events_as_changes(spark, sf_dir)
+    return lww_dedup(c, key=["user_id", "event_type"], order_col="seq").select(
+        "user_id",
+        "event_type",
+        F.col("seq").alias("last_seq"),
+        F.col("ts").alias("last_ts"),
+        F.col("value").alias("last_value"),
+    )
+
+
+LWW_SQL = f"""
+    SELECT user_id, event_type, seq AS last_seq, ts AS last_ts,
+           value AS last_value
+    FROM ({_CHANGES_SQL})
+    QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+                               ORDER BY seq DESC) = 1
+"""
+
+
+def q_salted_lww_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase skew-proof variant — must equal the plain window rank."""
+    c = _events_as_changes(spark, sf_dir)
+    return salted_lww_dedup(
+        c, key=["user_id", "event_type"], order_col="seq", n_salts=8
+    ).select(
+        "user_id",
+        "event_type",
+        F.col("seq").alias("last_seq"),
+        F.col("ts").alias("last_ts"),
+        F.col("value").alias("last_value"),
+    )
+
+
+def q_cdc_merge_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Converged table state after replaying the full change log:
+    LWW per key, delete drops the key — the MERGE semantics in SQL form."""
+    c = _events_as_changes(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy(F.col("seq").desc())
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") != "D"))
+        .select(
+            "user_id",
+            F.col("seq").alias("last_seq"),
+            F.col("event_type").alias("last_event_type"),
+            F.col("value").alias("last_value"),
+        )
+    )
+
+
+CDC_MERGE_SQL = f"""
+    SELECT user_id, seq AS last_seq, event_type AS last_event_type,
+           value AS last_value
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id
+                                     ORDER BY seq DESC) AS rn
+        FROM ({_CHANGES_SQL})
+    )
+    WHERE rn = 1 AND op <> 'D'
+"""
+
+
+def q_cdc_batch_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-op lineage metrics (the Notifier analog,
+    /root/reference/notifier.go:17-19): counts + offset watermarks."""
+    c = _events_as_changes(spark, sf_dir)
+    return c.groupBy("op").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("seq").alias("min_seq"),
+        F.max("seq").alias("max_seq"),
+        F.countDistinct("user_id").alias("n_keys"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value"),
+    )
+
+
+CDC_METRICS_SQL = f"""
+    SELECT op, count(*) AS n_events, min(seq) AS min_seq, max(seq) AS max_seq,
+           count(DISTINCT user_id) AS n_keys,
+           sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+    FROM ({_CHANGES_SQL})
+    GROUP BY op
+"""
+
+
+# ------------------------------------------------- reference-parity (T1-T9)
+def q_clean_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 CleanNumber over deterministically dirtied strings
+    (/root/reference/contrib/handlers/handlers.go:36-51)."""
+    li = load(spark, sf_dir, "lineitem")
+    ok = F.col("l_orderkey").cast("string")
+    pk = F.col("l_partkey").cast("string")
+    raw = (
+        F.when(F.col("l_linenumber") % 4 == 0, F.concat(F.lit("¥"), ok, F.lit(","), pk, F.lit("円")))
+        .when(F.col("l_linenumber") % 4 == 1, F.concat(F.lit("-"), ok, F.lit(","), pk))
+        .when(F.col("l_linenumber") % 4 == 2, F.concat(ok, F.lit("."), pk, F.lit("USD")))
+        .otherwise(F.lit("-"))
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        raw.alias("raw"),
+        clean_number(raw).alias("cleaned"),
+    )
+
+
+CLEAN_NUMBER_SQL = """
+    WITH d AS (
+        SELECT l_orderkey, l_linenumber,
+               CASE l_linenumber % 4
+                   WHEN 0 THEN '¥' || l_orderkey || ',' || l_partkey || '円'
+                   WHEN 1 THEN '-' || l_orderkey || ',' || l_partkey
+                   WHEN 2 THEN l_orderkey || '.' || l_partkey || 'USD'
+                   ELSE '-' END AS raw
+        FROM lineitem
+    ), c AS (
+        SELECT *,
+               CASE WHEN raw LIKE '-%'
+                    THEN '-' || regexp_replace(raw, '[^0-9.]', '', 'g')
+                    ELSE regexp_replace(raw, '[^0-9.]', '', 'g') END AS signed
+        FROM d
+    )
+    SELECT l_orderkey, l_linenumber, raw,
+           CASE WHEN signed = '-' THEN '' ELSE signed END AS cleaned
+    FROM c
+"""
+
+
+def q_date_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1+T2 date normalization round-trip over orders dates."""
+    o = load(spark, sf_dir, "orders")
+    slash = F.date_format("o_orderdate", "yyyy/MM/dd")
+    compact = F.date_format("o_orderdate", "yyyyMMdd")
+    return o.select(
+        "o_orderkey",
+        slash.alias("raw_slash"),
+        normalize_date(slash).alias("norm_slash"),
+        normalize_date_compact(compact).alias("norm_compact"),
+    )
+
+
+DATE_NORM_SQL = """
+    SELECT o_orderkey,
+           strftime(o_orderdate, '%Y/%m/%d') AS raw_slash,
+           strftime(o_orderdate, '%Y-%m-%d') AS norm_slash,
+           strftime(o_orderdate, '%Y-%m-%d') AS norm_compact
+    FROM orders
+"""
+
+
+def q_era_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4 wareki parsing (/root/reference/contrib/handlers/smbc.go:15-41):
+    construct Heisei strings for even orderkeys and Reiwa (+24y shift) for
+    odd ones, parse them back; the oracle computes the expected Gregorian
+    date directly, so any era-base drift fails the match."""
+    o = load(spark, sf_dir, "orders")
+    y = F.year("o_orderdate")
+    mmdd = F.date_format("o_orderdate", "MM.dd")
+    heisei = F.concat(F.lit("H"), F.lpad((y - 1988).cast("string"), 2, "0"), F.lit("."), mmdd)
+    reiwa = F.concat(F.lit("R"), F.lpad((y + 24 - 2018).cast("string"), 2, "0"), F.lit("."), mmdd)
+    raw = F.when(F.col("o_orderkey") % 2 == 0, heisei).otherwise(reiwa)
+    return o.select("o_orderkey", raw.alias("raw"), parse_era_date(raw).alias("parsed"))
+
+
+ERA_SQL = """
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 2 = 0
+                THEN 'H' || lpad(CAST(year(o_orderdate) - 1988 AS VARCHAR), 2, '0')
+                         || '.' || strftime(o_orderdate, '%m.%d')
+                ELSE 'R' || lpad(CAST(year(o_orderdate) + 24 - 2018 AS VARCHAR), 2, '0')
+                         || '.' || strftime(o_orderdate, '%m.%d') END AS raw,
+           CASE WHEN o_orderkey % 2 = 0
+                THEN strftime(o_orderdate, '%Y-%m-%d')
+                ELSE strftime(o_orderdate + INTERVAL 24 YEAR, '%Y-%m-%d')
+           END AS parsed
+    FROM orders
+"""
+
+
+def q_skip_leading_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O5/P1 — drop the first N rows per file
+    (/root/reference/handler.go:121, handlers.go:61-77). Files ≈ the
+    ``source`` groups of documents; order ≈ doc_id."""
+    d = load(spark, sf_dir, "documents")
+    w = W.partitionBy("source").orderBy("doc_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") > 2)
+        .select("doc_id", "source", "lang")
+    )
+
+
+SKIP_ROWS_SQL = """
+    SELECT doc_id, source, lang FROM documents
+    QUALIFY row_number() OVER (PARTITION BY source ORDER BY doc_id) > 2
+"""
+
+
+def q_null_skip_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6 null-row skip + T8 column reorder/select
+    (/root/reference/contrib/handlers/smbc_card.go:62-64,
+    sbi_securities.go:16-40)."""
+    d = load(spark, sf_dir, "documents")
+    first_word = F.split(F.col("text"), " ")[0]
+    return (
+        d.filter(F.col("text").isNotNull() & (F.length("text") > 0))
+        .select(
+            "doc_id",
+            first_word.alias("first_word"),
+            "lang",
+            F.col("n_chars").alias("chars"),
+        )
+    )
+
+
+NULL_SKIP_SQL = """
+    SELECT doc_id, string_split(text, ' ')[1] AS first_word, lang,
+           n_chars AS chars
+    FROM documents
+    WHERE text IS NOT NULL AND length(text) > 0
+"""
+
+
+def q_payment_month_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7/O6 — column appended from a value derived from the file path
+    (/root/reference/contrib/handlers/smbc_card.go:46-58)."""
+    d = load(spark, sf_dir, "documents")
+    path = F.concat(
+        F.lit("gs://ingest/"),
+        F.col("source"),
+        F.lit("/"),
+        (F.lit(202000) + (F.col("doc_id") % 12) + 1).cast("string"),
+        F.lit(".csv"),
+    )
+    return d.select(
+        "doc_id",
+        path.alias("path"),
+        payment_month_from_path(path).alias("payment_month"),
+    )
+
+
+PAYMENT_MONTH_SQL = """
+    SELECT doc_id,
+           'gs://ingest/' || source || '/' ||
+               CAST(202000 + (doc_id % 12) + 1 AS VARCHAR) || '.csv' AS path,
+           strftime(make_date(2020, CAST(doc_id % 12 AS INT) + 1, 1),
+                    '%Y-%m-%d') AS payment_month
+    FROM documents
+"""
+
+
+# ------------------------------------------------ training-data pipeline ops
+_TOKENS = "filter(split(text, ' '), x -> x <> '')"
+_TOKENS_SQL = "list_filter(string_split(text, ' '), x -> x <> '')"
+
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on the full text; representative = min id."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5(F.col("text")).alias("fp"))
+        .agg(F.min("doc_id").alias("rep_doc"), F.count(F.lit(1)).alias("n_dupes"))
+    )
+
+
+EXACT_DEDUP_SQL = """
+    SELECT md5(text) AS fp, min(doc_id) AS rep_doc, count(*) AS n_dupes
+    FROM documents GROUP BY md5(text)
+"""
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: normalized-text digest + shingle count."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.expr(_TOKENS)
+    return d.select(
+        "doc_id",
+        F.md5(F.lower(F.trim(F.col("text")))).alias("fingerprint"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+    )
+
+
+FINGERPRINT_SQL = f"""
+    SELECT doc_id, md5(lower(trim(text))) AS fingerprint,
+           len({_TOKENS_SQL}) AS n_tokens,
+           len(list_distinct({_TOKENS_SQL})) AS n_distinct_tokens
+    FROM documents
+"""
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting rolled up per language."""
+    d = load(spark, sf_dir, "documents")
+    n = F.size(F.expr(_TOKENS))
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n).alias("total_tokens"),
+        F.max(n).alias("max_tokens"),
+        F.avg(n).cast("decimal(18,4)").alias("avg_tokens"),
+    )
+
+
+TOKEN_STATS_SQL = f"""
+    SELECT lang, count(*) AS n_docs,
+           sum(len({_TOKENS_SQL})) AS total_tokens,
+           max(len({_TOKENS_SQL})) AS max_tokens,
+           CAST(avg(len({_TOKENS_SQL})) AS DECIMAL(18,4)) AS avg_tokens
+    FROM documents GROUP BY lang
+"""
+
+
+_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: English stopword ratio over tokens."""
+    d = load(spark, sf_dir, "documents")
+    stop_arr = ", ".join(f"'{w}'" for w in _STOPWORDS)
+    toks = F.expr(_TOKENS)
+    stops = F.expr(f"filter(split(text, ' '), x -> x IN ({stop_arr}))")
+    ratio = (F.size(stops).cast("double") / F.size(toks)).cast("decimal(18,4)")
+    return d.select(
+        "doc_id",
+        ratio.alias("stop_ratio"),
+        F.when(ratio >= 0.05, F.lit("en")).otherwise(F.lit("other")).alias("pred_lang"),
+    )
+
+
+LANG_ID_SQL = f"""
+    WITH t AS (
+        SELECT doc_id,
+               CAST(len(list_filter(string_split(text, ' '),
+                        x -> x IN ({", ".join(repr(w) for w in _STOPWORDS)})))
+                    AS DOUBLE)
+               / len({_TOKENS_SQL}) AS r
+        FROM documents
+    )
+    SELECT doc_id, CAST(r AS DECIMAL(18,4)) AS stop_ratio,
+           CASE WHEN CAST(r AS DECIMAL(18,4)) >= 0.05 THEN 'en'
+                ELSE 'other' END AS pred_lang
+    FROM t
+"""
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length, mean token length, lexical diversity."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.expr(_TOKENS)
+    n = F.size(toks)
+    mean_len = (F.length(F.regexp_replace("text", r"\s+", "")).cast("double") / n)
+    diversity = F.size(F.array_distinct(toks)).cast("double") / n
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars_actual"),
+        n.alias("n_tokens"),
+        mean_len.cast("decimal(18,4)").alias("mean_token_len"),
+        diversity.cast("decimal(18,4)").alias("lexical_diversity"),
+    )
+
+
+QUALITY_SQL = f"""
+    SELECT doc_id, length(text) AS n_chars_actual,
+           len({_TOKENS_SQL}) AS n_tokens,
+           CAST(CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+                / len({_TOKENS_SQL}) AS DECIMAL(18,4)) AS mean_token_len,
+           CAST(CAST(len(list_distinct({_TOKENS_SQL})) AS DOUBLE)
+                / len({_TOKENS_SQL}) AS DECIMAL(18,4)) AS lexical_diversity
+    FROM documents
+"""
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram (word-set) Jaccard near-dup pairs — the exact baseline the
+    MinHash-LSH path approximates. Token-explode + equi-join + group: no
+    cross join, shuffles on token then pair."""
+    d = load(spark, sf_dir, "documents")
+    toks = (
+        d.select("doc_id", F.explode(F.array_distinct(F.expr(_TOKENS))).alias("tok"))
+    )
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    pairs = (
+        toks.alias("a")
+        .join(toks.alias("b"), "tok")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        pairs.join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("sz", "s1"), "d1")
+        .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("sz", "s2"), "d2")
+        .withColumn(
+            "jaccard",
+            (F.col("inter").cast("double") / (F.col("s1") + F.col("s2") - F.col("inter"))).cast("decimal(18,4)"),
+        )
+        .filter(F.col("jaccard") >= 0.8)
+        .select("d1", "d2", "jaccard")
+    )
+
+
+NGRAM_JACCARD_SQL = f"""
+    WITH tok AS (
+        SELECT DISTINCT doc_id, unnest({_TOKENS_SQL}) AS tok FROM documents
+    ), sizes AS (
+        SELECT doc_id, count(*) AS sz FROM tok GROUP BY doc_id
+    ), pairs AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+        FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT d1, d2,
+           CAST(CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter)
+                AS DECIMAL(18,4)) AS jaccard
+    FROM pairs
+    JOIN sizes s1 ON s1.doc_id = d1
+    JOIN sizes s2 ON s2.doc_id = d2
+    WHERE CAST(CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter)
+               AS DECIMAL(18,4)) >= 0.8
+"""
+
+
+_MINHASH_SEEDS = ("s1", "s2", "s3", "s4")
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates: shingle → md5 minhash (4 seeds) →
+    2 bands of 2 → bucket-join. The scale path for dedup: cost is linear in
+    tokens + band collisions, never all-pairs."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.array_distinct(F.expr(_TOKENS))).alias("tok")
+    )
+    sig = toks.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(s), F.col("tok")))).alias(f"h{i+1}")
+            for i, s in enumerate(_MINHASH_SEEDS)
+        ]
+    )
+    bands = sig.select(
+        "doc_id", F.md5(F.concat("h1", "h2")).alias("band"), F.lit(1).alias("bi")
+    ).unionByName(
+        sig.select(
+            "doc_id", F.md5(F.concat("h3", "h4")).alias("band"), F.lit(2).alias("bi")
+        )
+    )
+    return (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band", "bi"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+
+
+MINHASH_SQL = f"""
+    WITH tok AS (
+        SELECT DISTINCT doc_id, unnest({_TOKENS_SQL}) AS tok FROM documents
+    ), sig AS (
+        SELECT doc_id,
+               {", ".join(f"min(md5('{s}' || tok)) AS h{i+1}" for i, s in enumerate(_MINHASH_SEEDS))}
+        FROM tok GROUP BY doc_id
+    ), bands AS (
+        SELECT doc_id, md5(h1 || h2) AS band, 1 AS bi FROM sig
+        UNION ALL
+        SELECT doc_id, md5(h3 || h4) AS band, 2 AS bi FROM sig
+    )
+    SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.bi = b.bi AND a.doc_id < b.doc_id
+"""
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k vs a query vector (vec_id=0) — the ANN
+    baseline. Dot product via zip_with/aggregate in double precision;
+    deterministic order by (rounded sim desc, vec_id)."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    dot = F.expr(
+        "aggregate(zip_with(embedding, qv, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.expr(
+            f"aggregate({c}, CAST(0.0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))"
+        )
+    )
+    return (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            (dot / (norm("embedding") * norm("qv"))).cast("decimal(18,4)").alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .limit(10)
+    )
+
+
+ANN_SQL = """
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    ex AS (
+        SELECT vec_id, label,
+               unnest(embedding) AS x,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings WHERE vec_id <> 0
+    ),
+    qx AS (
+        SELECT unnest(qv) AS y, generate_subscripts(qv, 1) AS i FROM q
+    ),
+    dots AS (
+        SELECT e.vec_id, e.label,
+               sum(CAST(e.x AS DOUBLE) * CAST(qx.y AS DOUBLE)) AS dot,
+               sum(CAST(e.x AS DOUBLE) * CAST(e.x AS DOUBLE)) AS n1
+        FROM ex e JOIN qx ON e.i = qx.i
+        GROUP BY e.vec_id, e.label
+    ),
+    qn AS (SELECT sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS n2 FROM qx)
+    SELECT vec_id, label,
+           CAST(dot / (sqrt(n1) * sqrt(n2)) AS DECIMAL(18,4)) AS cos_sim
+    FROM dots, qn
+    ORDER BY cos_sim DESC, vec_id LIMIT 10
+"""
+
+
+# ----------------------------------------------------- relational breadth
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped aggregate over lineitem (partial+final hash agg);
+    DECIMAL sums so the result is independent of summation order."""
+    li = load(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-01")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).alias("sum_base_price"),
+            F.sum(
+                (dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount"))).cast(
+                    "decimal(28,8)"
+                )
+            ).alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+PRICING_SQL = """
+    SELECT l_returnflag, l_linestatus,
+           sum(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty,
+           sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS sum_base_price,
+           sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4))
+                    * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+                    AS DECIMAL(28,8))) AS sum_disc_price,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+    GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_broadcast_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast-join enrichment: events → nation dim (25 rows) — the
+    canonical small-dim join a CDC pipeline does per batch; the dim is
+    explicitly broadcast so no shuffle of the fact side."""
+    e = load(spark, sf_dir, "events")
+    n = load(spark, sf_dir, "nation")
+    return (
+        e.withColumn("nk", (F.col("user_id") % 25).cast("long"))
+        .join(F.broadcast(n), F.col("nk") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value"),
+        )
+    )
+
+
+BROADCAST_SQL = """
+    SELECT n_name, count(*) AS n_events,
+           sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+    FROM events JOIN nation ON (user_id % 25) = n_nationkey
+    GROUP BY n_name
+"""
+
+
+# ------------------------------------------------------------------ registry
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "lww_dedup": q_lww_dedup,
+    "salted_lww_dedup": q_salted_lww_dedup,
+    "cdc_merge_state": q_cdc_merge_state,
+    "cdc_batch_metrics": q_cdc_batch_metrics,
+    "clean_number": q_clean_number,
+    "date_normalize": q_date_normalize,
+    "era_dates": q_era_dates,
+    "skip_leading_rows": q_skip_leading_rows,
+    "null_skip_project": q_null_skip_project,
+    "payment_month_append": q_payment_month_append,
+    "exact_dedup": q_exact_dedup,
+    "doc_fingerprint": q_doc_fingerprint,
+    "token_stats": q_token_stats,
+    "lang_id": q_lang_id,
+    "quality_score": q_quality_score,
+    "ngram_jaccard": q_ngram_jaccard,
+    "minhash_lsh": q_minhash_lsh,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "pricing_summary": q_pricing_summary,
+    "broadcast_enrich": q_broadcast_enrich,
+}
+
+ORACLE_SQL: dict[str, str] = {
+    "lww_dedup": LWW_SQL,
+    "salted_lww_dedup": LWW_SQL,
+    "cdc_merge_state": CDC_MERGE_SQL,
+    "cdc_batch_metrics": CDC_METRICS_SQL,
+    "clean_number": CLEAN_NUMBER_SQL,
+    "date_normalize": DATE_NORM_SQL,
+    "era_dates": ERA_SQL,
+    "skip_leading_rows": SKIP_ROWS_SQL,
+    "null_skip_project": NULL_SKIP_SQL,
+    "payment_month_append": PAYMENT_MONTH_SQL,
+    "exact_dedup": EXACT_DEDUP_SQL,
+    "doc_fingerprint": FINGERPRINT_SQL,
+    "token_stats": TOKEN_STATS_SQL,
+    "lang_id": LANG_ID_SQL,
+    "quality_score": QUALITY_SQL,
+    "ngram_jaccard": NGRAM_JACCARD_SQL,
+    "minhash_lsh": MINHASH_SQL,
+    "ann_cosine_topk": ANN_SQL,
+    "pricing_summary": PRICING_SQL,
+    "broadcast_enrich": BROADCAST_SQL,
+}

@@ -65,8 +65,12 @@ def _make_table(spark, tmp_path, **kw):
     )
 
 
-def test_single_batch_merge_converges(spark, tmp_path, changes):
-    t = _make_table(spark, tmp_path, n_buckets=8)
+MODES = ["cow", "mor"]
+
+
+@pytest.mark.parametrize("mode", MODES)
+def test_single_batch_merge_converges(spark, tmp_path, changes, mode):
+    t = _make_table(spark, tmp_path, n_buckets=8, write_mode=mode)
     t.merge(changes, batch_key=("q", 0))
     got = _sorted_state(t.read())
     exp = _sorted_state(expected_final_state(changes))
@@ -74,9 +78,10 @@ def test_single_batch_merge_converges(spark, tmp_path, changes):
 
 
 @pytest.mark.parametrize("n_batches", [3, 7])
-def test_multi_batch_replay_converges(spark, tmp_path, changes, n_batches):
+@pytest.mark.parametrize("mode", MODES)
+def test_multi_batch_replay_converges(spark, tmp_path, changes, n_batches, mode):
     """Any batch split of the log converges to the same final state."""
-    t = _make_table(spark, tmp_path, n_buckets=8)
+    t = _make_table(spark, tmp_path, n_buckets=8, write_mode=mode)
     for i in range(n_batches):
         batch = changes.filter(F.pmod(F.col("seq"), n_batches) == i)
         t.merge(batch, batch_key=("q", i))
@@ -87,9 +92,10 @@ def test_multi_batch_replay_converges(spark, tmp_path, changes, n_batches):
     assert got == exp
 
 
-def test_idempotent_redelivery(spark, tmp_path, changes):
+@pytest.mark.parametrize("mode", MODES)
+def test_idempotent_redelivery(spark, tmp_path, changes, mode):
     """Re-merging an already-committed batch key is a no-op (exactly-once)."""
-    t = _make_table(spark, tmp_path, n_buckets=8)
+    t = _make_table(spark, tmp_path, n_buckets=8, write_mode=mode)
     b0 = changes.filter(F.col("seq") < 2000)
     b1 = changes.filter(F.col("seq") >= 2000)
     t.merge(b0, batch_key=("q", 0))
@@ -111,7 +117,8 @@ def test_reapplying_older_changes_is_noop(spark, tmp_path, changes):
     assert _sorted_state(t.read()) == state
 
 
-def test_delete_semantics(spark, tmp_path):
+@pytest.mark.parametrize("mode", MODES)
+def test_delete_semantics(spark, tmp_path, mode):
     rows = [
         ("I", 1, "2024-01-01 00:00:01", "https://a/x", "2024-01-01 00:00:00", b"<p>v1</p>", "v1", "en"),
         ("U", 2, "2024-01-01 00:00:02", "https://a/x", "2024-01-01 00:00:00", b"<p>v2</p>", "v2", "en"),
@@ -128,7 +135,7 @@ def test_delete_semantics(spark, tmp_path):
         F.to_timestamp("warc_ts").alias("warc_ts"),
         "html", "text", "lang",
     )
-    t = _make_table(spark, tmp_path, n_buckets=4)
+    t = _make_table(spark, tmp_path, n_buckets=4, write_mode=mode)
     t.merge(df, batch_key=("q", 0))
     got = _sorted_state(t.read())
     assert got == [("https://a/y", "2024-01-01 00:00:00", "y", "en", 4)]
@@ -202,3 +209,29 @@ def test_lineage_metrics_and_watermarks(spark, tmp_path, changes):
     assert m.count() > 0
     wm = t.resume_watermarks()
     assert max(wm.values()) == 3999
+
+
+def test_mor_compaction_preserves_state(spark, tmp_path, changes):
+    """MoR: deltas accumulate per bucket; compact() folds them to one base
+    entry without changing the visible state; expire_tombstones drops the
+    hidden delete markers."""
+    t = _make_table(spark, tmp_path, n_buckets=8, write_mode="mor")
+    for i in range(4):
+        t.merge(changes.filter(F.pmod(F.col("seq"), 4) == i), batch_key=("q", i))
+    assert max(t.entries_per_bucket().values()) > 1
+    state = _sorted_state(t.read())
+    n_with_tombstones = t.read(include_deleted=True).count()
+
+    n = t.compact()
+    assert n > 0
+    assert max(t.entries_per_bucket().values()) == 1
+    assert _sorted_state(t.read()) == state
+    assert t.read(include_deleted=True).count() == n_with_tombstones
+
+    # a further merge then tombstone-expiring compaction
+    t.merge(changes.filter(F.col("seq") < 100), batch_key=("q", 99))
+    t.compact(expire_tombstones=True, min_entries=1)
+    assert _sorted_state(t.read()) == state
+    assert t.read(include_deleted=True).count() == len(state)
+    ops = [h["summary"]["operation"] for h in t.history()]
+    assert ops.count("compact") == 2
