@@ -41,6 +41,42 @@ def extract_text_py(html: bytes) -> str:
     return re.sub(_WS_RE, " ", no_tags).strip()
 
 
+def project_page_batch(df, html_col: str = "html"):
+    """The per-batch page projector — the engine's analog of the reference's
+    ``project`` stage (``/root/reference/handler.go:141-186``), fully
+    vectorized as Catalyst expressions (no Python in the row path):
+
+    - re-extract ``text`` from the html payload (so the byte-identity
+      invariant is enforced at ingest, not trusted from the feed),
+    - token count + stopword ratio (quality scoring),
+    - heuristic language guess for rows whose feed ``lang`` is NULL
+      (pre-schema-evolution rows).
+
+    Null html (deletes) projects to NULL columns, mirroring the
+    reference's nil-row tolerance.
+    """
+    from pyspark.sql import functions as F  # local to avoid cycle at import
+
+    text = extract_text(F.col(html_col))
+    df = df.withColumn("text", text)
+    toks = F.expr("filter(split(text, ' '), x -> x <> '')")
+    stops = F.expr(
+        "filter(split(text, ' '), x -> x IN ('the','a','of','and','to','in','is'))"
+    )
+    n_tokens = F.size(toks)
+    stop_ratio = F.when(
+        n_tokens > 0, F.size(stops).cast("double") / n_tokens
+    ).otherwise(F.lit(None).cast("double"))
+    lang_guess = F.coalesce(
+        F.col("lang"), F.when(stop_ratio >= 0.05, F.lit("en")).otherwise(F.lit("und"))
+    )
+    return (
+        df.withColumn("n_tokens", F.when(F.col(html_col).isNull(), F.lit(None).cast("int")).otherwise(n_tokens))
+        .withColumn("stop_ratio", F.when(F.col(html_col).isNull(), F.lit(None).cast("double")).otherwise(stop_ratio))
+        .withColumn("lang", F.when(F.col(html_col).isNull(), F.lit(None).cast("string")).otherwise(lang_guess))
+    )
+
+
 def make_html(title_col: Column, body_col: Column) -> Column:
     """Render a deterministic pseudo-HTML page as binary (utf-8).
 

@@ -43,9 +43,13 @@ interface (SURVEY.md §7 names this exact fallback):
   with the data and costs no extra Spark job; resumable replay = max
   applied seq per bucket (``resume_watermarks``).
 
-Shuffle budget per merge: the salted two-phase LWW dedup (map-side partial
-agg + one shuffle on key) and, in mor mode, one exchange to cluster winners
-by bucket for the partitioned write. Nothing else moves.
+Shuffle budget per merge: mor moves the wide payload across the memory bus
+exactly ONCE (a single exchange on bucket; dedup is a within-partition sort
++ lag filter because bucket = f(url) already co-locates every key). cow
+adds the affected-bucket read-back and a key-window. The engine is
+bandwidth-frugal by design — at cluster scale network bytes are the merge
+bottleneck, and in this sandbox the shared memory bus plays that role
+(measured: ~5 GB/s aggregate; see BENCH/BASELINE.md).
 """
 
 from __future__ import annotations
@@ -338,6 +342,39 @@ class LakeTable:
         ]
         changes = self._align_changes(m, changes)
 
+        if m.get("write_mode", "cow") == "mor":
+            # Single-payload-shuffle path: repartition by BUCKET (one
+            # exchange of the wide rows), sort within partitions by
+            # (key, seq desc), keep the first row of each key group via
+            # lag — the LWW winner — then write, already clustered by
+            # bucket. The wide html/text payload crosses the memory bus
+            # exactly once; dedup needs no second exchange because
+            # bucket = f(url) co-locates every key. Hot DOMAINS spread
+            # across buckets by url-hash; the sort absorbs hot-KEY skew
+            # in O(n log n) with spill (no per-key reducer to pin).
+            bucketed = changes.withColumn("__b", self._bucket_expr(m)).repartition(
+                m["n_buckets"], F.col("__b")
+            )
+            # sort prefix: an 8-byte key hash resolves almost every
+            # comparison radix-style — without it the sorter walks the
+            # long shared "https://host..." url prefixes byte by byte
+            kh = F.xxhash64(*[F.col(k) for k in key])
+            w = W.partitionBy("__b").orderBy(kh, *key, F.col("seq").desc())
+            first_of_key = ~F.lag(key[0]).over(w).eqNullSafe(F.col(key[0]))
+            for k in key[1:]:
+                first_of_key = first_of_key | ~F.lag(k).over(w).eqNullSafe(F.col(k))
+            out_rows = (
+                bucketed.withColumn("__first", F.coalesce(first_of_key, F.lit(True)))
+                .filter(F.col("__first"))
+                .select(
+                    *data_cols,
+                    F.col("seq").alias(SEQ_COL),
+                    (F.col("op") == "D").alias(DELETED_COL),
+                    F.col("__b").alias("b"),
+                )
+            )
+            return self._finish_merge(m, out_rows, batch_key, replace=False)
+
         if salted:
             winners = salted_lww_dedup(changes, key=key, order_col="seq", n_salts=n_salts)
         else:
@@ -359,58 +396,93 @@ class LakeTable:
             winners.unpersist()
             return self._commit_noop(m, batch_key)
 
-        if m.get("write_mode", "cow") == "mor":
-            out_rows = winners.select(
+        existing = self.read(buckets=affected, include_deleted=True).withColumn(
+            "__b", self._bucket_expr(m)
+        )
+        # existing rows join the race as op='E' (live) / 'D' (tombstone)
+        # with their stored _seq; one window decides every survivor.
+        ex = existing.select(
+            F.when(F.col(DELETED_COL), F.lit("D")).otherwise(F.lit("E")).alias("op"),
+            F.col(SEQ_COL).alias("seq"),
+            *data_cols,
+            "__b",
+        )
+        all_rows = ex.unionByName(winners.select("op", "seq", *data_cols, "__b"))
+        w = W.partitionBy(*key).orderBy(F.col("seq").desc(), F.col("op").asc())
+        out_rows = (
+            all_rows.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(
                 *data_cols,
                 F.col("seq").alias(SEQ_COL),
                 (F.col("op") == "D").alias(DELETED_COL),
                 F.col("__b").alias("b"),
             )
-            replace = False
-        else:
-            existing = self.read(buckets=affected, include_deleted=True).withColumn(
-                "__b", self._bucket_expr(m)
-            )
-            # existing rows join the race as op='E' (live) / 'D' (tombstone)
-            # with their stored _seq; one window decides every survivor.
-            ex = existing.select(
-                F.when(F.col(DELETED_COL), F.lit("D")).otherwise(F.lit("E")).alias("op"),
-                F.col(SEQ_COL).alias("seq"),
-                *data_cols,
-                "__b",
-            )
-            all_rows = ex.unionByName(winners.select("op", "seq", *data_cols, "__b"))
-            w = W.partitionBy(*key).orderBy(F.col("seq").desc(), F.col("op").asc())
-            out_rows = (
-                all_rows.withColumn("__rn", F.row_number().over(w))
-                .filter(F.col("__rn") == 1)
-                .select(
-                    *data_cols,
-                    F.col("seq").alias(SEQ_COL),
-                    (F.col("op") == "D").alias(DELETED_COL),
-                    F.col("__b").alias("b"),
-                )
-            )
-            replace = True
+        )
+        stats = self._finish_merge(
+            m,
+            out_rows.repartition(max(len(affected), 1), F.col("b")),
+            batch_key,
+            replace=True,
+            affected=affected,
+            stats_rows=[
+                (int(r["__b"]), r["applied_max_seq"], r["rows_upserted"], r["rows_deleted"])
+                for r in stats_rows
+            ],
+        )
+        winners.unpersist()
+        return stats
 
+    def _finish_merge(
+        self,
+        m: dict[str, Any],
+        out_rows: DataFrame,
+        batch_key: tuple[str, int] | None,
+        replace: bool,
+        affected: list[int] | None = None,
+        stats_rows: list[tuple] | None = None,
+    ) -> MergeStats:
+        """Write ``out_rows`` (cols: data..., _seq, _deleted, b), derive
+        lineage stats, and commit the manifest atomically.
+
+        For the mor fast path stats are derived AFTER the write by scanning
+        only the narrow (_seq, _deleted) columns of the freshly written
+        parquet (column pruning makes this a metadata-cheap second pass —
+        no persist/cache of the wide winner rows is ever needed)."""
         commit_id = uuid.uuid4().hex[:12]
         rel = os.path.join("data", f"c{m['version'] + 1:08d}_{commit_id}")
         out_dir = os.path.join(self.path, rel)
-        (
-            out_rows.repartition(max(len(affected), 1), F.col("b"))
-            .write.partitionBy("b")
-            .mode("overwrite")
-            .parquet(out_dir)
-        )
-        winners.unpersist()
-
-        rows_upserted = sum(r["rows_upserted"] for r in stats_rows)
-        rows_deleted = sum(r["rows_deleted"] for r in stats_rows)
-        max_seq = max((r["applied_max_seq"] for r in stats_rows), default=None)
+        out_rows.write.partitionBy("b").mode("overwrite").parquet(out_dir)
 
         written = {
             int(d.split("=", 1)[1]) for d in os.listdir(out_dir) if d.startswith("b=")
         }
+        if stats_rows is None:
+            back = self.spark.read.parquet(out_dir).select("b", SEQ_COL, DELETED_COL)
+            stats_rows = [
+                (
+                    int(r["b"]),
+                    r["applied_max_seq"],
+                    r["n"] - r["rows_deleted"],
+                    r["rows_deleted"],
+                )
+                for r in back.groupBy("b")
+                .agg(
+                    F.max(SEQ_COL).alias("applied_max_seq"),
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum(F.col(DELETED_COL).cast("long")).alias("rows_deleted"),
+                )
+                .collect()
+            ]
+        if affected is None:
+            affected = sorted(written)
+        if not written and not affected:
+            return self._commit_noop(m, batch_key)
+
+        rows_upserted = sum(r[2] for r in stats_rows)
+        rows_deleted = sum(r[3] for r in stats_rows)
+        max_seq = max((r[1] for r in stats_rows), default=None)
+
         new_buckets = {b: list(entries) for b, entries in m["buckets"].items()}
         if replace:
             for b in affected:
@@ -432,16 +504,8 @@ class LakeTable:
             # per-bucket lineage metrics ride in the manifest: no extra
             # Spark job per batch, and they commit atomically WITH the data
             metrics=[
-                [
-                    m["version"] + 1,
-                    qid,
-                    bid,
-                    int(r["__b"]),
-                    r["applied_max_seq"],
-                    r["rows_upserted"],
-                    r["rows_deleted"],
-                ]
-                for r in stats_rows
+                [m["version"] + 1, qid, bid, b, mx, up, dl]
+                for (b, mx, up, dl) in stats_rows
             ],
             summary={
                 "operation": "merge",
@@ -452,7 +516,7 @@ class LakeTable:
                 "max_seq": max_seq,
             },
         )
-        self._write_manifest(m2, expected_parent=version)
+        self._write_manifest(m2, expected_parent=m["version"])
         return MergeStats(
             m2["version"], False, affected, rows_upserted, rows_deleted, max_seq
         )

@@ -1,0 +1,240 @@
+"""Handler registry + event fan-out (O1) and pre-configured handlers.
+
+The reference dispatches one storage event to every handler whose regex
+matches the object name, concurrently, failing the event if ANY handler
+fails while still running the others (``/root/reference/bqloader.go:105-137``,
+errgroup at 119-128), and ALWAYS notifies per (event, handler)
+(``handler.go:67-98``). This module reproduces that contract:
+
+- :class:`Handler` — (name, pattern, reader, projector, sink): the Spark
+  restatement of ``/root/reference/handler.go:20-48``. ``reader`` builds a
+  DataFrame from the event path (extract+decode+parse); ``projector`` is a
+  vectorized column-expression bundle (never per-row Python); ``sink``
+  loads (LakeTable.merge / append / parquet write).
+- :class:`Registry` — ``dispatch(path)`` fans out to all matching
+  handlers; every matching handler runs even after a failure; the first
+  error is raised after the fan-out completes (errgroup semantics);
+  results (the Notifier payload, ``notifier.go:22-26``) go to an optional
+  callback.
+- Pre-configured handler factories mirroring the reference's contrib
+  library (``contrib/handlers/handlers.go:25-33`` TableGenerator pattern),
+  each citing the Go projector it reproduces.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from go_bqloader_spark.functions.transforms import (
+    clean_number,
+    normalize_date,
+    normalize_date_compact,
+    normalize_date_kanji,
+    parse_era_date,
+    payment_month_from_path,
+)
+from go_bqloader_spark.sources.csvlike import read_csv_files
+
+
+@dataclass
+class Result:
+    """Per-(event, handler) outcome — the Notifier payload
+    (``/root/reference/notifier.go:22-26``)."""
+
+    handler: str
+    path: str
+    error: Exception | None = None
+    rows: int = -1
+
+
+@dataclass
+class Handler:
+    name: str
+    pattern: str
+    reader: Callable[[SparkSession, str], DataFrame]
+    projector: Callable[[DataFrame], DataFrame] = lambda df: df
+    sink: Callable[[DataFrame], int] | None = None
+
+    def matches(self, path: str) -> bool:
+        return re.search(self.pattern, path) is not None
+
+    def run(self, spark: SparkSession, path: str) -> DataFrame:
+        return self.projector(self.reader(spark, path))
+
+
+@dataclass
+class Registry:
+    handlers: list[Handler] = field(default_factory=list)
+    notify: Callable[[Result], None] | None = None
+
+    def add(self, handler: Handler) -> None:
+        if any(h.name == handler.name for h in self.handlers):
+            raise ValueError(f"duplicate handler {handler.name}")
+        self.handlers.append(handler)
+
+    def dispatch(self, spark: SparkSession, path: str) -> list[Result]:
+        """Fan out one event; all matching handlers run (errors don't stop
+        siblings); notify per result; raise the first error at the end."""
+        results: list[Result] = []
+        for h in self.handlers:
+            if not h.matches(path):
+                continue
+            res = Result(handler=h.name, path=path)
+            try:
+                df = h.run(spark, path)
+                res.rows = h.sink(df) if h.sink else df.count()
+            except Exception as e:  # noqa: BLE001 — reference surfaces, not masks
+                res.error = e
+            results.append(res)
+            if self.notify:
+                self.notify(res)
+        first_err = next((r.error for r in results if r.error), None)
+        if first_err is not None:
+            raise first_err
+        return results
+
+
+# ------------------------------------------------ pre-configured handlers
+def _string_schema(cols: list[str]) -> str:
+    return ", ".join(f"{c} string" for c in cols)
+
+
+def sbi_sumishin_net_bank_statement(name: str, pattern: str, sink=None) -> Handler:
+    """Mirror of ``contrib/handlers/sbi_sumishin_net_bank.go:14-45``:
+    Shift-JIS CSV, skip 1 header row, date ``yyyy/MM/dd``→ISO on col 0,
+    CleanNumber on cols 2, 3, 4."""
+    cols = ["date", "description", "withdrawal", "deposit", "balance", "memo"]
+
+    def reader(spark: SparkSession, path: str) -> DataFrame:
+        return read_csv_files(
+            spark, path, _string_schema(cols), encoding="shift_jis",
+            skip_head_rows=1,
+        )
+
+    def projector(df: DataFrame) -> DataFrame:
+        return df.withColumns(
+            {
+                "date": normalize_date("date"),
+                "withdrawal": clean_number("withdrawal"),
+                "deposit": clean_number("deposit"),
+                "balance": clean_number("balance"),
+            }
+        )
+
+    return Handler(name, pattern, reader, projector, sink)
+
+
+def sony_bank_statement(name: str, pattern: str, sink=None) -> Handler:
+    """Mirror of ``contrib/handlers/sony_bank.go:14-45``: UTF-8 CSV, skip 1
+    header, kanji date (``2006年01月02日``) on col 0, CleanNumber cols 2-4."""
+    cols = ["date", "description", "withdrawal", "deposit", "balance"]
+
+    def reader(spark: SparkSession, path: str) -> DataFrame:
+        return read_csv_files(spark, path, _string_schema(cols), skip_head_rows=1)
+
+    def projector(df: DataFrame) -> DataFrame:
+        return df.withColumns(
+            {
+                "date": normalize_date_kanji("date"),
+                "withdrawal": clean_number("withdrawal"),
+                "deposit": clean_number("deposit"),
+                "balance": clean_number("balance"),
+            }
+        )
+
+    return Handler(name, pattern, reader, projector, sink)
+
+
+def rakuten_bank_statement(name: str, pattern: str, sink=None) -> Handler:
+    """Mirror of ``contrib/handlers/rakuten_bank.go:14-40``: compact
+    ``yyyyMMdd`` dates on col 0, CleanNumber on amounts."""
+    cols = ["date", "description", "amount", "balance"]
+
+    def reader(spark: SparkSession, path: str) -> DataFrame:
+        return read_csv_files(spark, path, _string_schema(cols), skip_head_rows=1)
+
+    def projector(df: DataFrame) -> DataFrame:
+        return df.withColumns(
+            {
+                "date": normalize_date_compact("date"),
+                "amount": clean_number("amount"),
+                "balance": clean_number("balance"),
+            }
+        )
+
+    return Handler(name, pattern, reader, projector, sink)
+
+
+def smbc_statement(name: str, pattern: str, sink=None) -> Handler:
+    """Mirror of ``contrib/handlers/smbc.go:43-76``: wareki/era or
+    non-padded Gregorian dates on col 0 (``parseSMBCDate``)."""
+    cols = ["date", "withdrawal", "deposit", "description", "balance"]
+
+    def reader(spark: SparkSession, path: str) -> DataFrame:
+        return read_csv_files(
+            spark, path, _string_schema(cols), encoding="shift_jis",
+            skip_head_rows=1,
+        )
+
+    def projector(df: DataFrame) -> DataFrame:
+        return df.withColumn("date", parse_era_date("date"))
+
+    return Handler(name, pattern, reader, projector, sink)
+
+
+def smbc_card_statement(name: str, pattern: str, sink=None) -> Handler:
+    """Mirror of ``contrib/handlers/smbc_card.go:14-90``: keep only lines
+    whose 5th char is ``/`` (P2 line-shape filter, smbc_card.go:31-36),
+    drop rows with empty col 0 (T6, :62-64), ISO-normalize the date, append
+    ``payment_month`` derived from the file name ``/(\\d{6}).csv`` (T7/O6,
+    :46-58)."""
+    cols = ["date", "store", "amount", "installments", "month_count", "pay", "note"]
+
+    def reader(spark: SparkSession, path: str) -> DataFrame:
+        shape: Column = (F.length(F.col("line")) > 4) & (
+            F.substring(F.col("line"), 5, 1) == "/"
+        )
+        return read_csv_files(
+            spark, path, _string_schema(cols), encoding="shift_jis",
+            line_filter=shape, keep_path=True,
+        )
+
+    def projector(df: DataFrame) -> DataFrame:
+        return (
+            df.filter(F.col("date").isNotNull() & (F.col("date") != ""))
+            .withColumn("date", normalize_date("date"))
+            .withColumn("payment_month", payment_month_from_path("path"))
+            .drop("path", "line_no")
+        )
+
+    return Handler(name, pattern, reader, projector, sink)
+
+
+def sbi_securities_global_banking_statement(name: str, pattern: str, sink=None) -> Handler:
+    """Mirror of ``contrib/handlers/sbi_securities.go:14-60``: skip a
+    6-line preamble (P1 PartialCSVParser with (6, 0, "\\n"),
+    sbi_securities.go:49), then project 6 fields in the order
+    [date, r1, r5, r2, clean(r3), clean(r4)] (T8 column reorder)."""
+    in_cols = ["date", "trade", "summary", "out_amt", "in_amt", "currency"]
+
+    def reader(spark: SparkSession, path: str) -> DataFrame:
+        return read_csv_files(
+            spark, path, _string_schema(in_cols), skip_head_rows=6
+        )
+
+    def projector(df: DataFrame) -> DataFrame:
+        return df.select(
+            normalize_date("date").alias("date"),
+            F.col("trade"),
+            F.col("currency"),
+            F.col("summary"),
+            clean_number("out_amt").alias("out_amt"),
+            clean_number("in_amt").alias("in_amt"),
+        )
+
+    return Handler(name, pattern, reader, projector, sink)

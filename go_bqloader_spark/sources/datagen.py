@@ -56,6 +56,7 @@ def gen_changes(
     skew: float = 3.0,
     evolve_at: int | None = None,
     partitions: int | None = None,
+    fill_repeat: int = 8,
 ) -> DataFrame:
     """Generate ``n_events`` change events (including ~dup_pct% duplicates).
 
@@ -114,7 +115,7 @@ def gen_changes(
         F.lit(" revision "),
         seq.cast("string"),
         F.lit(" "),
-        F.repeat(F.concat(F.lit("w"), _h(seed, "fill", seq, 10).cast("string")), 8),
+        F.repeat(F.concat(F.lit("w"), _h(seed, "fill", seq, 10).cast("string")), fill_repeat),
     )
     html = make_html(title, body)
     lang = F.when(

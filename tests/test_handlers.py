@@ -1,0 +1,156 @@
+"""Handler registry + CSV-variant source tests: golden end-to-end handler
+runs over synthesized fixture files (the reference's golden-file pattern,
+``/root/reference/contrib/handlers/*_test.go``, re-created with our own
+fixture data), fan-out/error semantics (``bqloader_test.go:79-114``), and
+Shift-JIS decode."""
+
+import pytest
+
+from go_bqloader_spark.plans.handlers import (
+    Handler,
+    Registry,
+    Result,
+    rakuten_bank_statement,
+    sbi_securities_global_banking_statement,
+    sbi_sumishin_net_bank_statement,
+    smbc_card_statement,
+    smbc_statement,
+    sony_bank_statement,
+)
+from go_bqloader_spark.sources.csvlike import read_csv_files, read_lines
+
+
+def _rows(df, *cols):
+    return [tuple(r[c] for c in cols) for r in df.collect()]
+
+
+@pytest.fixture()
+def fixtures(tmp_path):
+    d = tmp_path / "in"
+    d.mkdir()
+
+    (d / "sbi_bank.csv").write_bytes(
+        "日付,内容,出金金額,入金金額,残高,メモ\n"
+        "2021/01/31,振込 テスト,\"29,447\",,\"100,000\",-\n"
+        "2021/01/30,利息,,25,\"129,447\",メモ\n".encode("shift_jis")
+    )
+    (d / "sony_bank.csv").write_bytes(
+        "お取り引き日,摘要,お引き出し額,お預け入れ額,差し引き残高\n"
+        "2021年01月31日,振込,\"10,000\",,\"90,000\"\n".encode("utf-8")
+    )
+    (d / "rakuten_bank.csv").write_bytes(
+        "取引日,摘要,入出金,残高\n"
+        "20210131,給与振込,\"250,000\",\"500,000\"\n".encode("utf-8")
+    )
+    (d / "smbc.csv").write_bytes(
+        "年月日,お引出し,お預入れ,お取り扱い内容,残高\n"
+        "H31.04.30,\"1,000\",,カード,\"50,000\"\n"
+        "2019/5/1,,200,振込,\"50,200\"\n".encode("shift_jis")
+    )
+    # smbc_card: noise lines + empty-first-field row; month in file name
+    (d / "202101.csv").write_bytes(
+        "お客様情報,,,,,,\n"
+        "2021/01/05,スーパー,1000,1,1,1000,\n"
+        ",小計,,,,,\n"
+        "2021/01/09,書店,2500,1,1,2500,\n".encode("shift_jis")
+    )
+    # sbi_securities: 6-line preamble then data
+    (d / "sbi_sec.csv").write_bytes(
+        ("メタ1\nメタ2\nメタ3\nメタ4\nメタ5\n"
+         "入出金日,取引,摘要,出金額,入金額,通貨\n"
+         "2021/01/31,買付,米国株式,\"1,234\",,USD\n").encode("utf-8")
+    )
+    return str(d)
+
+
+def test_read_lines_sjis(spark, fixtures):
+    df = read_lines(spark, f"{fixtures}/sbi_bank.csv", encoding="shift_jis")
+    lines = [r["line"] for r in df.orderBy("line_no").collect()]
+    assert lines[0].startswith("日付,")
+    assert "振込 テスト" in lines[1]
+
+
+def test_sbi_sumishin_golden(spark, fixtures):
+    # golden matrix per sbi_sumishin_net_bank_test.go:16-19
+    h = sbi_sumishin_net_bank_statement("sbi", r"sbi_bank\.csv$")
+    got = sorted(_rows(h.run(spark, f"{fixtures}/sbi_bank.csv"),
+                       "date", "description", "withdrawal", "deposit", "balance", "memo"))
+    assert got == [
+        ("2021-01-30", "利息", "", "25", "129447", "メモ"),
+        ("2021-01-31", "振込 テスト", "29447", "", "100000", "-"),
+    ]
+
+
+def test_sony_bank_golden(spark, fixtures):
+    h = sony_bank_statement("sony", r"sony_bank\.csv$")
+    got = _rows(h.run(spark, f"{fixtures}/sony_bank.csv"),
+                "date", "withdrawal", "deposit", "balance")
+    assert got == [("2021-01-31", "10000", "", "90000")]
+
+
+def test_rakuten_bank_golden(spark, fixtures):
+    h = rakuten_bank_statement("rakuten", r"rakuten_bank\.csv$")
+    got = _rows(h.run(spark, f"{fixtures}/rakuten_bank.csv"), "date", "amount", "balance")
+    assert got == [("2021-01-31", "250000", "500000")]
+
+
+def test_smbc_era_golden(spark, fixtures):
+    h = smbc_statement("smbc", r"smbc\.csv$")
+    got = sorted(_rows(h.run(spark, f"{fixtures}/smbc.csv"), "date", "description"))
+    assert got == [("2019-04-30", "カード"), ("2019-05-01", "振込")]
+
+
+def test_smbc_card_golden(spark, fixtures):
+    # line-shape filter drops the noise lines; payment_month appended
+    h = smbc_card_statement("card", r"/\d{6}\.csv$")
+    got = sorted(_rows(h.run(spark, f"{fixtures}/202101.csv"),
+                       "date", "store", "amount", "payment_month"))
+    assert got == [
+        ("2021-01-05", "スーパー", "1000", "2021-01-01"),
+        ("2021-01-09", "書店", "2500", "2021-01-01"),
+    ]
+
+
+def test_sbi_securities_golden(spark, fixtures):
+    h = sbi_securities_global_banking_statement("sec", r"sbi_sec\.csv$")
+    df = h.run(spark, f"{fixtures}/sbi_sec.csv")
+    assert df.columns == ["date", "trade", "currency", "summary", "out_amt", "in_amt"]
+    got = _rows(df, "date", "trade", "currency", "summary", "out_amt", "in_amt")
+    assert got == [("2021-01-31", "買付", "USD", "米国株式", "1234", "")]
+
+
+def test_partial_csv_head_tail(spark, tmp_path):
+    # PartialCSVParser head/tail matrix (handlers_test.go:105-164)
+    p = tmp_path / "t.csv"
+    p.write_text("h1\nh2\na,1\nb,2\nc,3\ntail\n")
+    df = read_csv_files(spark, str(p), "k string, v string",
+                        skip_head_rows=2, skip_tail_rows=1)
+    assert sorted(_rows(df, "k", "v")) == [("a", "1"), ("b", "2"), ("c", "3")]
+
+
+def test_registry_fanout_and_error_semantics(spark, fixtures):
+    """All matching handlers run even when one fails; first error raised
+    after the fan-out; notifier sees every result (bqloader_test.go:79-114,
+    handler.go:89-95)."""
+    seen: list[Result] = []
+
+    def bad_reader(spark_, path):
+        raise RuntimeError("boom")
+
+    reg = Registry(notify=seen.append)
+    reg.add(Handler("bad", r"sony_bank\.csv$", bad_reader))
+    reg.add(sony_bank_statement("good", r"sony_bank\.csv$"))
+    reg.add(rakuten_bank_statement("nomatch", r"other\.csv$"))
+
+    with pytest.raises(RuntimeError, match="boom"):
+        reg.dispatch(spark, f"{fixtures}/sony_bank.csv")
+    assert [r.handler for r in seen] == ["bad", "good"]
+    assert seen[0].error is not None
+    assert seen[1].error is None and seen[1].rows == 1
+
+
+def test_registry_duplicate_name_rejected(spark):
+    reg = Registry()
+    reg.add(Handler("x", r".*", lambda s, p: None))
+    with pytest.raises(ValueError):
+        reg.add(Handler("x", r".*", lambda s, p: None))
