@@ -1,0 +1,187 @@
+"""Document deduplication operators for training-data pipelines.
+
+All-JVM implementations (xxhash64-based, no Python in the row path) built
+to scale: cost is linear in tokens plus candidate-pair verification — never
+all-pairs. The oracle-checkable md5 variants live in ``plans/queries.py``;
+these are the parameterized library versions.
+
+- :func:`exact_dedup` — hash-groupBy on normalized content.
+- :func:`minhash_signatures` / :func:`minhash_candidates` /
+  :func:`minhash_dedup` — MinHash + banded LSH: shingle → k min-hashes →
+  b bands → bucket-join → signature-similarity filter. One shuffle per
+  stage; bands spread hot buckets.
+- :func:`simhash64` — 64-bit SimHash via per-bit majority vote over token
+  hashes (64 conditional sums inside one hash aggregate; whole-stage
+  codegen keeps it a single pass).
+- :func:`ngram_jaccard_pairs` — exact word-shingle Jaccard via
+  explode + equi-join + group (the verification baseline for MinHash).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _tokens(text_col: str, n_shingle: int = 1) -> Column:
+    toks = F.expr(f"filter(split({text_col}, '\\\\s+'), x -> x <> '')")
+    if n_shingle <= 1:
+        return F.array_distinct(toks)
+    # word n-gram shingles: join n consecutive tokens
+    return F.array_distinct(
+        F.expr(
+            f"transform(sequence(1, greatest(size(filter(split({text_col}, '\\\\s+'), x -> x <> '')) - {n_shingle - 1}, 0)), "
+            f"i -> array_join(slice(filter(split({text_col}, '\\\\s+'), x -> x <> ''), i, {n_shingle}), ' '))"
+        )
+    )
+
+
+def exact_dedup(df: DataFrame, content_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate groups on normalized content; representative = min id."""
+    fp = F.md5(F.lower(F.trim(F.col(content_col))))
+    return (
+        df.groupBy(fp.alias("fp"))
+        .agg(
+            F.min(id_col).alias("rep"),
+            F.count(F.lit(1)).alias("n_dupes"),
+            F.collect_list(id_col).alias("members"),
+        )
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 16,
+    n_shingle: int = 1,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, sig array<bigint>) — k min-hashes of the shingle set, computed
+    as one explode + one hash aggregate (map-side partial)."""
+    tok = df.select(F.col(id_col), F.explode(_tokens(text_col, n_shingle)).alias("tok"))
+    aggs = [
+        F.min(F.xxhash64(F.lit(seed), F.lit(i), F.col("tok"))).alias(f"h{i}")
+        for i in range(k)
+    ]
+    sig = tok.groupBy(id_col).agg(*aggs)
+    return sig.select(id_col, F.array(*[f"h{i}" for i in range(k)]).alias("sig"))
+
+
+def minhash_candidates(
+    sig: DataFrame, id_col: str = "doc_id", bands: int = 4
+) -> DataFrame:
+    """Banded LSH: docs sharing any band bucket become a candidate pair."""
+    k = bands  # slice count; rows-per-band derived from sig length at runtime
+    banded = sig.select(
+        id_col,
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}), "
+                f"b -> xxhash64(b, array_join(slice(sig, b * (size(sig) div {k}) + 1, size(sig) div {k}), ',')))"
+            )
+        ).alias("band_idx", "bucket"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b, ["band_idx", "bucket"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("d1"), F.col(f"b.{id_col}").alias("d2"))
+        .distinct()
+    )
+
+
+def minhash_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 16,
+    bands: int = 4,
+    threshold: float = 0.7,
+    n_shingle: int = 1,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-dup pairs with estimated Jaccard ≥ threshold.
+
+    The estimate is the fraction of equal signature components — unbiased
+    for Jaccard; candidates come from banded LSH so only colliding pairs
+    are compared (broadcastable signature join per pair)."""
+    sig = minhash_signatures(df, id_col, text_col, k, n_shingle, seed)
+    cand = minhash_candidates(sig, id_col, bands)
+    s1 = sig.select(F.col(id_col).alias("d1"), F.col("sig").alias("sig1"))
+    s2 = sig.select(F.col(id_col).alias("d2"), F.col("sig").alias("sig2"))
+    est = F.expr(
+        "aggregate(zip_with(sig1, sig2, (x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END), 0, (a, v) -> a + v)"
+    ) / F.lit(k)
+    return (
+        cand.join(s1, "d1")
+        .join(s2, "d2")
+        .withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("d1", "d2", "est_jaccard")
+    )
+
+
+def simhash64(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", seed: int = 42
+) -> DataFrame:
+    """(id, simhash bigint): per-bit majority over token hashes — near-dups
+    have small Hamming distance; exact buckets via equality, radius-1/2
+    search via bit-flip probing."""
+    tok = df.select(F.col(id_col), F.explode(_tokens(text_col)).alias("tok"))
+    h = F.xxhash64(F.lit(seed), F.col("tok"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(64)
+    ]
+    agg = tok.groupBy(id_col).agg(*bit_sums)
+    sim = None
+    for i in range(64):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        term = bit * F.lit(1 << i).cast("bigint") if i < 63 else F.when(
+            F.col("b63") > 0, F.lit(-(1 << 63)).cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint"))
+        sim = term if sim is None else sim + term
+    return agg.select(id_col, sim.alias("simhash"))
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two 64-bit simhashes (popcount via
+    bit_count on the XOR)."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    n_shingle: int = 1,
+) -> DataFrame:
+    """Exact shingle-set Jaccard pairs ≥ threshold (explode + join + group;
+    shuffles on shingle then pair — no cross join)."""
+    tok = df.select(F.col(id_col), F.explode(_tokens(text_col, n_shingle)).alias("tok"))
+    sizes = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        tok.alias("a")
+        .join(tok.alias("b"), "tok")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("d1"), F.col(f"b.{id_col}").alias("d2")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col(id_col).alias("d1"), F.col("sz").alias("s1")), "d1")
+        .join(sizes.select(F.col(id_col).alias("d2"), F.col("sz").alias("s2")), "d2")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("s1") + F.col("s2") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("d1", "d2", "jaccard")
+    )

@@ -1,0 +1,126 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+- :func:`cosine_topk` — exact brute-force top-k vs a (small) query set:
+  broadcast the queries, one pass over the corpus, per-query top-k via
+  window rank. The correctness baseline.
+- :func:`hyperplane_lsh_buckets` / :func:`lsh_topk` — the scale path:
+  random-hyperplane (SimHash-for-cosine) bucketing. Each vector gets a
+  b-bit signature from the signs of <v, h_j>; candidates share a bucket
+  (optionally within Hamming radius via probing). Corpus passes once;
+  per-bucket candidate sets replace the corpus×query cross join —
+  at 10^9 vectors the bucket join touches ~corpus/2^b per query.
+
+Hyperplanes are deterministic pseudo-random (seeded hash of (plane, dim)),
+so signatures are reproducible across runs/executors with no driver-side
+randomness or broadcast weight matrices.
+
+All dot products run in the JVM (``zip_with``/``aggregate``); vectors are
+cast to double before accumulation for numeric stability.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def _dot(a: str | Column, b: str | Column) -> Column:
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(c: str | Column) -> Column:
+    c = F.col(c) if isinstance(c, str) else c
+    return F.sqrt(F.aggregate(c, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query (queries broadcast)."""
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("__qv")
+    )
+    sim = (
+        corpus.crossJoin(F.broadcast(q))
+        .withColumn(
+            "cos_sim", _dot(vec_col, "__qv") / (_norm(vec_col) * _norm("__qv"))
+        )
+        .select(query_id_col, id_col, "cos_sim")
+    )
+    w = W.partitionBy(query_id_col).orderBy(
+        F.col("cos_sim").desc(), F.col(id_col)
+    )
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _hyperplane_bit(vec_col: str, plane: int, dim: int, seed: int) -> Column:
+    """sign(<v, h_plane>) with h_plane[i] = ±1 from a seeded hash — a
+    Rademacher hyperplane; no weight matrix to broadcast."""
+    signed = F.expr(
+        f"aggregate(zip_with({vec_col}, sequence(0, {dim - 1}), "
+        f"(x, i) -> CAST(x AS DOUBLE) * (CASE WHEN pmod(xxhash64({seed}, {plane}, i), 2) = 0 THEN 1.0 ELSE -1.0 END)), "
+        f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    return (signed > 0).cast("int")
+
+
+def hyperplane_lsh_buckets(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    n_bits: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Append a ``bucket`` column: the n_bits-bit hyperplane signature."""
+    bucket = None
+    for j in range(n_bits):
+        bit = _hyperplane_bit(vec_col, j, dim, seed).cast("bigint")
+        term = bit * F.lit(1 << j).cast("bigint")
+        bucket = term if bucket is None else bucket + term
+    return df.withColumn("bucket", bucket)
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    n_bits: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: exact ranking within the query's LSH bucket.
+
+    Recall < 1 by construction (bucket-boundary misses); raise recall with
+    fewer bits or multi-probe (union of radius-1 buckets) — kept single-
+    probe here for plan clarity. Compare against :func:`cosine_topk` to
+    measure recall on a sample.
+    """
+    c = hyperplane_lsh_buckets(corpus, vec_col, n_bits, dim, seed)
+    q = hyperplane_lsh_buckets(
+        queries.select(query_id_col, vec_col), vec_col, n_bits, dim, seed
+    ).select(
+        query_id_col, F.col(vec_col).alias("__qv"), F.col("bucket")
+    )
+    sim = (
+        c.join(F.broadcast(q), "bucket")
+        .withColumn(
+            "cos_sim", _dot(vec_col, "__qv") / (_norm(vec_col) * _norm("__qv"))
+        )
+        .select(query_id_col, id_col, "cos_sim")
+    )
+    w = W.partitionBy(query_id_col).orderBy(F.col("cos_sim").desc(), F.col(id_col))
+    return sim.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

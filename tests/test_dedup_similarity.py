@@ -1,0 +1,127 @@
+"""Dedup + similarity operator tests over the shared sf0.001 testdata
+documents/embeddings tables plus constructed near-dup corpora."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from go_bqloader_spark.operators.dedup import (
+    exact_dedup,
+    hamming64,
+    minhash_candidates,
+    minhash_dedup,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash64,
+)
+from go_bqloader_spark.operators.similarity import cosine_topk, lsh_topk
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def near_dups(spark):
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    rows = [
+        (1, base),
+        (2, base),  # exact dup
+        (3, base.replace("today", "tomorrow")),  # near dup (1 token differs)
+        (4, "completely different text about spark shuffles and memory bandwidth limits"),
+        (5, base + " extra tail words appended here"),  # superset near-dup
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_exact_dedup_groups(spark, near_dups):
+    out = exact_dedup(near_dups).collect()
+    groups = {r["rep"]: r["n_dupes"] for r in out}
+    assert groups[1] == 2  # docs 1 and 2 collapse
+    assert sum(groups.values()) == 5
+
+
+def test_minhash_signature_shape_and_determinism(spark, near_dups):
+    s1 = minhash_signatures(near_dups, k=16).orderBy("doc_id").collect()
+    s2 = minhash_signatures(near_dups, k=16).orderBy("doc_id").collect()
+    assert [r["sig"] for r in s1] == [r["sig"] for r in s2]
+    assert all(len(r["sig"]) == 16 for r in s1)
+    # identical docs → identical signatures
+    sigs = {r["doc_id"]: tuple(r["sig"]) for r in s1}
+    assert sigs[1] == sigs[2]
+    assert sigs[1] != sigs[4]
+
+
+def test_minhash_dedup_finds_near_dups(spark, near_dups):
+    pairs = {
+        (r["d1"], r["d2"]): r["est_jaccard"]
+        for r in minhash_dedup(near_dups, k=16, bands=8, threshold=0.5).collect()
+    }
+    assert pairs.get((1, 2)) == 1.0  # exact dup
+    assert (1, 4) not in pairs and (2, 4) not in pairs  # unrelated doc
+    assert any(d1 in (1, 2) and d2 == 3 for d1, d2 in pairs)  # near dup found
+
+
+def test_minhash_candidates_superset_of_exact_dups(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    sig = minhash_signatures(docs, k=8)
+    cand = {
+        (r["d1"], r["d2"]) for r in minhash_candidates(sig, bands=4).collect()
+    }
+    exact = exact_dedup(docs).filter(F.col("n_dupes") > 1).collect()
+    for g in exact:
+        ms = sorted(g["members"])
+        for a, b in zip(ms, ms[1:]):
+            assert (a, b) in cand  # LSH must never miss an exact dup
+
+
+def test_simhash_near_dup_distance(spark, near_dups):
+    sh = {r["doc_id"]: r["simhash"] for r in simhash64(near_dups).collect()}
+    assert sh[1] == sh[2]
+    df = spark.createDataFrame(
+        [(sh[1], sh[3]), (sh[1], sh[4])], "a bigint, b bigint"
+    ).select(hamming64(F.col("a"), F.col("b")).alias("d"))
+    d_near, d_far = [r["d"] for r in df.collect()]
+    assert d_near < d_far
+    assert d_near <= 16  # one-token edit stays close in simhash space
+
+
+def test_ngram_jaccard_pairs_exact_values(spark, near_dups):
+    pairs = {
+        (r["d1"], r["d2"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(near_dups, threshold=0.4).collect()
+    }
+    assert pairs[(1, 2)] == 1.0
+    assert (1, 4) not in pairs
+
+
+def test_cosine_topk_exact(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = cosine_topk(emb.filter(F.col("vec_id") >= 3), q, k=5)
+    rows = out.collect()
+    assert len(rows) == 15  # 3 queries × top-5
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["cos_sim"]))
+    for q_id, rs in by_q.items():
+        rs.sort()
+        sims = [s for _, s in rs]
+        assert sims == sorted(sims, reverse=True)
+        assert all(-1.0 - 1e-9 <= s <= 1.0 + 1e-9 for s in sims)
+
+
+def test_lsh_topk_recall_against_exact(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    exact = cosine_topk(corpus, q, k=5).collect()
+    approx = lsh_topk(corpus, q, k=5, n_bits=4, dim=64).collect()
+    exact_set = {(r["query_id"], r["vec_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["vec_id"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    # single-probe 4-bit LSH on random-ish vectors: expect partial recall,
+    # assert it's doing real work (non-trivial) and well-formed
+    assert 0.1 <= recall <= 1.0
+    assert all(r["rank"] <= 5 for r in approx)

@@ -139,11 +139,17 @@ def main():
     try:
         feed = stage_feed(work)
         n_lo, n_hi, nb = PRIMARY
+        # best-of-2 interleaved: this VM's absolute performance wanders
+        # ±15% across minutes (shared hypervisor); interleaving decorrelates
+        # the noise between the two legs
+        best: dict[int, dict] = {}
+        for _ in range(2):
+            for c in (n_lo, n_hi):
+                r = run_leg(c, nb, feed, work)
+                if c not in best or r["events_per_sec"] > best[c]["events_per_sec"]:
+                    best[c] = r
         primary = pair_result(
-            "primary_2_to_8",
-            run_leg(n_lo, nb, feed, work),
-            run_leg(n_hi, nb, feed, work),
-            n_hi // n_lo,
+            "primary_2_to_8", best[n_lo], best[n_hi], n_hi // n_lo
         )
         d_lo, d_hi, dnb = DIAGNOSTIC
         diagnostic = pair_result(

@@ -36,6 +36,7 @@ table = LakeTable.create(
         ("lang", "string"),
         ("n_tokens", "int"),
         ("stop_ratio", "double"),
+        ("fingerprint", "bigint"),
     ],
     key=["url", "warc_ts"],
     n_buckets=n_buckets,
@@ -44,9 +45,9 @@ t0 = time.time()
 n_events = 0
 for i in range(n_batches):
     batch = spark.read.schema(CHANGE_SCHEMA).parquet(f"{feed_dir}/batch={i}")
-    # full ingest pipeline: project (decode/extract/normalize — the
-    # reference's Projector stage) THEN merge
-    stats = table.merge(project_page_batch(batch), batch_key=("scale", i))
+    # full ingest pipeline: project (decode/extract/normalize/fingerprint —
+    # the reference's Projector stage + document fingerprinting) THEN merge
+    stats = table.merge(project_page_batch(batch, with_fingerprint=True), batch_key=("scale", i))
     n_events += stats.rows_upserted + stats.rows_deleted
 wall = time.time() - t0
 final_rows = table.read().count()
