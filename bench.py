@@ -38,6 +38,7 @@ HEADLINE = [
     "clean_number",
     "date_normalize",
     "era_dates",
+    "timestamp_normalize",
     "token_stats",
     "quality_score",
     "exact_dedup",

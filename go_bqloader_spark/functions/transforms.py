@@ -114,6 +114,27 @@ def parse_era_date(col: Column | str) -> Column:
     )
 
 
+def normalize_timestamp(
+    col: Column | str,
+    fmt: str = "yyyy/MM/dd HH:mm:ss",
+    assume_tz: str = "Asia/Tokyo",
+) -> Column:
+    """Timezone-aware timestamp normalization (north-star invariant).
+
+    The reference's inputs are Japanese bank exports whose timestamps are
+    implicitly JST wall-clock; BigQuery coerces the projected strings
+    server-side. The engine makes the conversion explicit and lossless:
+    parse the wall-clock string with ``fmt``, interpret it in ``assume_tz``
+    (strings carrying an explicit offset pattern in ``fmt`` win), and
+    return a UTC timestamp. Unparseable input → NULL (ANSI-safe).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    parsed = F.try_to_timestamp(c, F.lit(fmt))
+    # session TZ is UTC (session.py), so try_to_timestamp yields the
+    # wall-clock instant AS IF UTC; reinterpret it as assume_tz wall time
+    return F.to_utc_timestamp(parsed, assume_tz)
+
+
 def payment_month_from_path(path_col: Column | str, pattern: str = r"/(\d{6})\.csv$") -> Column:
     """T7/O6 — preprocessor-derived column: payment month from the file name
     (``/root/reference/contrib/handlers/smbc_card.go:46-58``).

@@ -29,6 +29,7 @@ from go_bqloader_spark.functions.transforms import (
     clean_number,
     normalize_date,
     normalize_date_compact,
+    normalize_timestamp,
     parse_era_date,
     payment_month_from_path,
 )
@@ -247,6 +248,32 @@ ERA_SQL = """
                 ELSE strftime(o_orderdate + INTERVAL 24 YEAR, '%Y-%m-%d')
            END AS parsed
     FROM orders
+"""
+
+
+def q_timestamp_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timezone-aware timestamp normalization (north-star invariant):
+    JST wall-clock strings → UTC instants. The oracle computes the same
+    instant via fixed-offset arithmetic (epoch - 9h), so a DST/zone-math
+    error in the engine fails the hash."""
+    e = load(spark, sf_dir, "events")
+    raw = F.date_format("ts", "yyyy/MM/dd HH:mm:ss")
+    utc = normalize_timestamp(raw, "yyyy/MM/dd HH:mm:ss", "Asia/Tokyo")
+    return e.select(
+        "event_id",
+        raw.alias("raw_jst"),
+        F.unix_timestamp(utc).alias("epoch_utc"),
+        F.date_format(utc, "yyyy-MM-dd HH:mm:ss").alias("utc_str"),
+    )
+
+
+TS_NORM_SQL = """
+    SELECT event_id,
+           strftime(ts, '%Y/%m/%d %H:%M:%S') AS raw_jst,
+           CAST(epoch(date_trunc('second', ts)) AS BIGINT) - 32400 AS epoch_utc,
+           strftime(date_trunc('second', ts) - INTERVAL 9 HOUR,
+                    '%Y-%m-%d %H:%M:%S') AS utc_str
+    FROM events
 """
 
 
@@ -596,6 +623,100 @@ ANN_SQL = """
 """
 
 
+def q_windowed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time windows (the streaming metrics aggregation of
+    streaming/windows.py, run in batch mode for oracle checkability)."""
+    e = load(spark, sf_dir, "events")
+    win = F.window("ts", "1 hour")
+    return (
+        e.groupBy(win.alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.max("event_id").alias("max_seq"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "n_users",
+            "max_seq",
+        )
+    )
+
+
+WINDOWED_SQL = """
+    SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start, event_type,
+           count(*) AS n_events, count(DISTINCT user_id) AS n_users,
+           max(event_id) AS max_seq
+    FROM events GROUP BY 1, 2
+"""
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via gaps-and-islands: a >30-minute silence per user
+    starts a new session (the batch formulation of a session window)."""
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    # microsecond-precise gap (unix_timestamp would truncate to seconds
+    # and disagree with the oracle's epoch_us at exact-boundary gaps)
+    ts_tz = F.col("ts").cast("timestamp")  # parquet NTZ → session-UTC instant
+    gap = F.unix_micros(ts_tz) - F.unix_micros(F.lag(ts_tz).over(w))
+    new_sess = F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
+    sess = (
+        e.withColumn("new_sess", new_sess)
+        .withColumn(
+            "session_no",
+            F.sum("new_sess").over(
+                w.rowsBetween(W.unboundedPreceding, W.currentRow)
+            ),
+        )
+    )
+    return sess.groupBy("user_id", "session_no").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value"),
+    )
+
+
+SESSIONIZE_SQL = """
+    WITH flagged AS (
+        SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                       THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+        SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS session_no
+        FROM flagged
+    )
+    SELECT user_id, session_no, min(ts) AS session_start,
+           max(ts) AS session_end, count(*) AS n_events,
+           sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+    FROM numbered GROUP BY user_id, session_no
+"""
+
+
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key detection (the skew the salted dedup absorbs): top-20 keys
+    by change volume, deterministic tie-break."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy(F.col("n_events").desc(), F.col("user_id"))
+        .limit(20)
+    )
+
+
+HEAVY_SQL = """
+    SELECT user_id, count(*) AS n_events FROM events
+    GROUP BY user_id ORDER BY n_events DESC, user_id LIMIT 20
+"""
+
+
 # ----------------------------------------------------- relational breadth
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-shaped aggregate over lineitem (partial+final hash agg);
@@ -666,6 +787,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "clean_number": q_clean_number,
     "date_normalize": q_date_normalize,
     "era_dates": q_era_dates,
+    "timestamp_normalize": q_timestamp_normalize,
     "skip_leading_rows": q_skip_leading_rows,
     "null_skip_project": q_null_skip_project,
     "payment_month_append": q_payment_month_append,
@@ -677,6 +799,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard": q_ngram_jaccard,
     "minhash_lsh": q_minhash_lsh,
     "ann_cosine_topk": q_ann_cosine_topk,
+    "windowed_metrics": q_windowed_metrics,
+    "sessionize": q_sessionize,
+    "heavy_hitters": q_heavy_hitters,
     "pricing_summary": q_pricing_summary,
     "broadcast_enrich": q_broadcast_enrich,
 }
@@ -689,6 +814,7 @@ ORACLE_SQL: dict[str, str] = {
     "clean_number": CLEAN_NUMBER_SQL,
     "date_normalize": DATE_NORM_SQL,
     "era_dates": ERA_SQL,
+    "timestamp_normalize": TS_NORM_SQL,
     "skip_leading_rows": SKIP_ROWS_SQL,
     "null_skip_project": NULL_SKIP_SQL,
     "payment_month_append": PAYMENT_MONTH_SQL,
@@ -700,6 +826,9 @@ ORACLE_SQL: dict[str, str] = {
     "ngram_jaccard": NGRAM_JACCARD_SQL,
     "minhash_lsh": MINHASH_SQL,
     "ann_cosine_topk": ANN_SQL,
+    "windowed_metrics": WINDOWED_SQL,
+    "sessionize": SESSIONIZE_SQL,
+    "heavy_hitters": HEAVY_SQL,
     "pricing_summary": PRICING_SQL,
     "broadcast_enrich": BROADCAST_SQL,
 }

@@ -154,3 +154,51 @@ def test_checkpoint_dir_created(spark, tmp_path, binlog):
     ckpt = str(tmp_path / "ckpt")
     run_cdc_stream(spark, f"{d}/seg=*", t, ckpt, timeout_sec=300)
     assert os.path.exists(os.path.join(ckpt, "offsets"))
+
+
+def _run_win_metrics(spark, path, name, files_per_trigger, watermark):
+    from go_bqloader_spark.sources.datagen import CHANGE_SCHEMA
+    from go_bqloader_spark.streaming.windows import windowed_ingest_metrics
+
+    stream = (
+        spark.readStream.schema(CHANGE_SCHEMA)
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .parquet(path)
+    )
+    q = (
+        windowed_ingest_metrics(stream, window="10 minutes", watermark=watermark)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    return sorted(map(tuple, spark.table(name).collect()))
+
+
+def test_windowed_ingest_metrics_stream(spark, tmp_path, binlog):
+    """Single micro-batch (watermark never advances mid-stream) matches the
+    batch-mode aggregation exactly; multi-batch with a tight watermark
+    drops events later than the watermark — the bounded-state contract."""
+    from go_bqloader_spark.streaming.windows import windowed_ingest_metrics
+
+    d, changes = binlog
+    want = sorted(
+        map(tuple, windowed_ingest_metrics(changes, window="10 minutes").collect())
+    )
+    one_batch = _run_win_metrics(spark, f"{d}/seg=*", "win_all", 12, "20 minutes")
+    # append mode only EMITS windows the final watermark has passed; the
+    # tail windows (end > max_event_time - 20min) stay in state forever
+    # under availableNow — exclude them from the batch expectation
+    import datetime
+
+    max_ts = changes.agg(F.max("commit_ts").alias("m")).collect()[0]["m"]
+    horizon = max_ts - datetime.timedelta(minutes=20)
+    want_emittable = [w for w in want if w[1] <= horizon]
+    assert one_batch == want_emittable and len(one_batch) > 0
+
+    multi = _run_win_metrics(spark, f"{d}/seg=*", "win_late", 2, "1 minute")
+    # late events (datagen emits up to 1h-late commit_ts) fall outside the
+    # 1-minute watermark across micro-batches → strictly fewer counted
+    assert sum(r[3] for r in multi) < sum(r[3] for r in want)

@@ -8,6 +8,7 @@ Args: <feed_dir> <n_batches> <n_buckets> <work_dir>
 import json
 import sys
 import time
+import urllib.request
 
 from pyspark.sql import SparkSession
 
@@ -36,7 +37,6 @@ table = LakeTable.create(
         ("lang", "string"),
         ("n_tokens", "int"),
         ("stop_ratio", "double"),
-        ("fingerprint", "bigint"),
     ],
     key=["url", "warc_ts"],
     n_buckets=n_buckets,
@@ -47,9 +47,18 @@ for i in range(n_batches):
     batch = spark.read.schema(CHANGE_SCHEMA).parquet(f"{feed_dir}/batch={i}")
     # full ingest pipeline: project (decode/extract/normalize/fingerprint —
     # the reference's Projector stage + document fingerprinting) THEN merge
-    stats = table.merge(project_page_batch(batch, with_fingerprint=True), batch_key=("scale", i))
+    stats = table.merge(project_page_batch(batch), batch_key=("scale", i))
     n_events += stats.rows_upserted + stats.rows_deleted
 wall = time.time() - t0
+# executor CPU/run/GC totals via the REST API: CPU-seconds are robust to
+# hypervisor noise (steal/frequency hits wall, not guest thread CPU), so
+# cpu_per_event across levels measures the ENGINE's parallel overhead.
+ui = spark.sparkContext.uiWebUrl
+app = spark.sparkContext.applicationId
+stages = json.load(urllib.request.urlopen(f"{ui}/api/v1/applications/{app}/stages?status=complete"))
+cpu = sum(st["executorCpuTime"] for st in stages) / 1e9
+run = sum(st["executorRunTime"] for st in stages) / 1e3
+gc = sum(st["jvmGcTime"] for st in stages) / 1e3
 final_rows = table.read().count()
 print(
     json.dumps(
@@ -58,6 +67,9 @@ print(
             "wall_sec": round(wall, 3),
             "applied_winners": n_events,
             "final_rows": final_rows,
+            "executor_cpu_sec": round(cpu, 1),
+            "executor_run_sec": round(run, 1),
+            "gc_sec": round(gc, 1),
         }
     )
 )
