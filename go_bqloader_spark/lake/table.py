@@ -458,6 +458,8 @@ class LakeTable:
             int(d.split("=", 1)[1]) for d in os.listdir(out_dir) if d.startswith("b=")
         }
         if stats_rows is None:
+            if not written:  # empty mor batch: nothing written, no-op commit
+                return self._commit_noop(m, batch_key)
             back = self.spark.read.parquet(out_dir).select("b", SEQ_COL, DELETED_COL)
             stats_rows = [
                 (

@@ -24,14 +24,19 @@ from pyspark.sql import functions as F
 
 
 def _tokens(text_col: str, n_shingle: int = 1) -> Column:
-    toks = F.expr(f"filter(split({text_col}, '\\\\s+'), x -> x <> '')")
+    toks = f"filter(split({text_col}, '\\\\s+'), x -> x <> '')"
     if n_shingle <= 1:
-        return F.array_distinct(toks)
-    # word n-gram shingles: join n consecutive tokens
+        return F.array_distinct(F.expr(toks))
+    # word n-gram shingles: join n consecutive tokens. Spark's
+    # sequence(1, 0) yields a DESCENDING [1, 0] (not empty), so docs with
+    # fewer than n tokens need the explicit guard or slice(toks, 0, n)
+    # throws under ANSI mode.
     return F.array_distinct(
         F.expr(
-            f"transform(sequence(1, greatest(size(filter(split({text_col}, '\\\\s+'), x -> x <> '')) - {n_shingle - 1}, 0)), "
-            f"i -> array_join(slice(filter(split({text_col}, '\\\\s+'), x -> x <> ''), i, {n_shingle}), ' '))"
+            f"CASE WHEN size({toks}) >= {n_shingle} "
+            f"THEN transform(sequence(1, size({toks}) - {n_shingle - 1}), "
+            f"i -> array_join(slice({toks}, i, {n_shingle}), ' ')) "
+            f"ELSE CAST(array() AS array<string>) END"
         )
     )
 
@@ -160,11 +165,28 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.8,
-    n_shingle: int = 1,
+    n_shingle: int = 3,
+    df_cap: int | None = 50,
 ) -> DataFrame:
     """Exact shingle-set Jaccard pairs ≥ threshold (explode + join + group;
-    shuffles on shingle then pair — no cross join)."""
+    shuffles on shingle then pair — no cross join).
+
+    Defaults are the scale-safe shape: 3-word shingles (a unigram equi-join
+    is quadratic on hot tokens — a token in D docs makes D²/2 join rows)
+    plus a document-frequency cap that drops shingles present in more than
+    ``df_cap`` docs from the candidate universe (they carry no near-dup
+    signal). Jaccard is computed over the capped universe. Pass
+    ``n_shingle=1, df_cap=None`` for the classic textbook formulation on
+    small corpora."""
     tok = df.select(F.col(id_col), F.explode(_tokens(text_col, n_shingle)).alias("tok"))
+    if df_cap is not None:
+        rare = (
+            tok.groupBy("tok")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= df_cap)
+            .select("tok")
+        )
+        tok = tok.join(rare, "tok")
     sizes = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     inter = (
         tok.alias("a")

@@ -5,10 +5,15 @@ ops) is exposed here as a named query over the shared test tables so the
 driver can verify it row-for-row against ANSI SQL. Conventions:
 
 - every computed column is aliased IDENTICALLY in Spark and SQL;
-- money/statistics go through ``DECIMAL`` casts so sums are exact and
-  independent of float summation order;
-- unavoidable float math (cosine similarity) is rounded then cast to
-  DECIMAL on both sides;
+- money/statistics are emitted as integer-scaled fixed-point BIGINTs
+  (``_cents``/``_e4``/``_e6`` suffixes): per-row ``floor(x * scale)`` in
+  IEEE double (bit-identical on both engines) summed as exact integers.
+  DECIMAL outputs are avoided entirely — the driver's hasher stringifies
+  values after a pandas conversion, and DuckDB decimals become float64
+  there (``Decimal('20706.60')`` vs ``20706.6`` — measured round-1 failure
+  mode), so any decimal column is a latent hash mismatch;
+- ratios use pure integer division (``DIV`` / ``//``) so no float ever
+  reaches the output;
 - queries are pure DataFrame plans — no collect, no Python in the row path
   (the only pandas UDFs in the engine live in the multimodal module).
 
@@ -390,23 +395,35 @@ FINGERPRINT_SQL = f"""
 
 
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting rolled up per language."""
+    """Token counting rolled up per language. All-BIGINT outputs: the mean
+    is integer-scaled (``avg_tokens_e4`` = floor(avg * 10^4)) via pure
+    integer division so both engines compute the identical value."""
     d = load(spark, sf_dir, "documents")
-    n = F.size(F.expr(_TOKENS))
-    return d.groupBy("lang").agg(
+    n = F.size(F.expr(_TOKENS)).cast("long")
+    agg = d.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(n).alias("total_tokens"),
         F.max(n).alias("max_tokens"),
-        F.avg(n).cast("decimal(18,4)").alias("avg_tokens"),
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        "total_tokens",
+        "max_tokens",
+        F.expr("total_tokens * 10000 DIV n_docs").alias("avg_tokens_e4"),
     )
 
 
 TOKEN_STATS_SQL = f"""
-    SELECT lang, count(*) AS n_docs,
-           sum(len({_TOKENS_SQL})) AS total_tokens,
-           max(len({_TOKENS_SQL})) AS max_tokens,
-           CAST(avg(len({_TOKENS_SQL})) AS DECIMAL(18,4)) AS avg_tokens
-    FROM documents GROUP BY lang
+    WITH a AS (
+        SELECT lang, count(*) AS n_docs,
+               CAST(sum(len({_TOKENS_SQL})) AS BIGINT) AS total_tokens,
+               CAST(max(len({_TOKENS_SQL})) AS BIGINT) AS max_tokens
+        FROM documents GROUP BY lang
+    )
+    SELECT lang, n_docs, total_tokens, max_tokens,
+           CAST((total_tokens * 10000) // n_docs AS BIGINT) AS avg_tokens_e4
+    FROM a
 """
 
 
@@ -414,16 +431,27 @@ _STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heuristic language ID: English stopword ratio over tokens."""
+    """Heuristic language ID: English stopword ratio over tokens, emitted
+    as ``stop_ratio_e6`` = floor(ratio * 10^6) via integer division
+    (zero-token docs → NULL ratio, 'other' — ANSI-safe, no DivideByZero)."""
     d = load(spark, sf_dir, "documents")
     stop_arr = ", ".join(f"'{w}'" for w in _STOPWORDS)
-    toks = F.expr(_TOKENS)
-    stops = F.expr(f"filter(split(text, ' '), x -> x IN ({stop_arr}))")
-    ratio = (F.size(stops).cast("double") / F.size(toks)).cast("decimal(18,4)")
-    return d.select(
+    base = d.select(
         "doc_id",
-        ratio.alias("stop_ratio"),
-        F.when(ratio >= 0.05, F.lit("en")).otherwise(F.lit("other")).alias("pred_lang"),
+        F.size(F.expr(_TOKENS)).cast("long").alias("n_toks"),
+        F.size(F.expr(f"filter(split(text, ' '), x -> x IN ({stop_arr}))"))
+        .cast("long")
+        .alias("n_stops"),
+    )
+    ratio_e6 = F.expr(
+        "CASE WHEN n_toks > 0 THEN (n_stops * 1000000) DIV n_toks END"
+    )
+    return base.select(
+        "doc_id",
+        ratio_e6.alias("stop_ratio_e6"),
+        F.when(ratio_e6 >= 50000, F.lit("en"))
+        .otherwise(F.lit("other"))
+        .alias("pred_lang"),
     )
 
 
@@ -432,56 +460,109 @@ LANG_ID_SQL = f"""
         SELECT doc_id,
                CAST(len(list_filter(string_split(text, ' '),
                         x -> x IN ({", ".join(repr(w) for w in _STOPWORDS)})))
-                    AS DOUBLE)
-               / len({_TOKENS_SQL}) AS r
+                    AS BIGINT) AS n_stops,
+               CAST(len({_TOKENS_SQL}) AS BIGINT) AS n_toks
         FROM documents
+    ), r AS (
+        SELECT doc_id,
+               CASE WHEN n_toks > 0
+                    THEN CAST((n_stops * 1000000) // n_toks AS BIGINT)
+               END AS stop_ratio_e6
+        FROM t
     )
-    SELECT doc_id, CAST(r AS DECIMAL(18,4)) AS stop_ratio,
-           CASE WHEN CAST(r AS DECIMAL(18,4)) >= 0.05 THEN 'en'
-                ELSE 'other' END AS pred_lang
-    FROM t
+    SELECT doc_id, stop_ratio_e6,
+           CASE WHEN stop_ratio_e6 >= 50000 THEN 'en' ELSE 'other' END
+               AS pred_lang
+    FROM r
 """
 
 
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality scoring: length, mean token length, lexical diversity."""
+    """Quality scoring: length, mean token length, lexical diversity — all
+    integer-scaled BIGINT (e4) via integer division; zero-token docs yield
+    NULL metrics instead of DivideByZero (ANSI-safe)."""
     d = load(spark, sf_dir, "documents")
     toks = F.expr(_TOKENS)
-    n = F.size(toks)
-    mean_len = (F.length(F.regexp_replace("text", r"\s+", "")).cast("double") / n)
-    diversity = F.size(F.array_distinct(toks)).cast("double") / n
-    return d.select(
+    base = d.select(
         "doc_id",
-        F.length("text").alias("n_chars_actual"),
-        n.alias("n_tokens"),
-        mean_len.cast("decimal(18,4)").alias("mean_token_len"),
-        diversity.cast("decimal(18,4)").alias("lexical_diversity"),
+        F.length("text").cast("long").alias("n_chars_actual"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.length(F.regexp_replace("text", r"\s+", "")).cast("long").alias("chars_ns"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+    )
+    return base.select(
+        "doc_id",
+        "n_chars_actual",
+        "n_tokens",
+        F.expr(
+            "CASE WHEN n_tokens > 0 THEN (chars_ns * 10000) DIV n_tokens END"
+        ).alias("mean_token_len_e4"),
+        F.expr(
+            "CASE WHEN n_tokens > 0 THEN (n_distinct * 10000) DIV n_tokens END"
+        ).alias("lexical_diversity_e4"),
     )
 
 
 QUALITY_SQL = f"""
-    SELECT doc_id, length(text) AS n_chars_actual,
-           len({_TOKENS_SQL}) AS n_tokens,
-           CAST(CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
-                / len({_TOKENS_SQL}) AS DECIMAL(18,4)) AS mean_token_len,
-           CAST(CAST(len(list_distinct({_TOKENS_SQL})) AS DOUBLE)
-                / len({_TOKENS_SQL}) AS DECIMAL(18,4)) AS lexical_diversity
-    FROM documents
+    WITH t AS (
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_chars_actual,
+               CAST(len({_TOKENS_SQL}) AS BIGINT) AS n_tokens,
+               CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS BIGINT)
+                   AS chars_ns,
+               CAST(len(list_distinct({_TOKENS_SQL})) AS BIGINT) AS n_distinct
+        FROM documents
+    )
+    SELECT doc_id, n_chars_actual, n_tokens,
+           CASE WHEN n_tokens > 0
+                THEN CAST((chars_ns * 10000) // n_tokens AS BIGINT)
+           END AS mean_token_len_e4,
+           CASE WHEN n_tokens > 0
+                THEN CAST((n_distinct * 10000) // n_tokens AS BIGINT)
+           END AS lexical_diversity_e4
+    FROM t
 """
 
 
+# 3-word shingles (not unigrams): a unigram equi-join is quadratic on hot
+# tokens (every doc shares "the" → D²/2 join rows); 3-shingles are near-
+# unique so the candidate-pair count stays near-linear at corpus scale.
+# Spark's sequence(1, 0) yields a DESCENDING [1, 0], so short docs need the
+# explicit size guard (DuckDB's generate_series(1, 0) is empty).
+_SHINGLES3 = (
+    "CASE WHEN size(filter(split(text, ' '), x -> x <> '')) >= 3 "
+    "THEN transform(sequence(1, size(filter(split(text, ' '), x -> x <> '')) - 2), "
+    "i -> array_join(slice(filter(split(text, ' '), x -> x <> ''), i, 3), ' ')) "
+    "ELSE CAST(array() AS array<string>) END"
+)
+_SHINGLES3_SQL = (
+    f"list_transform(generate_series(1, greatest(len({_TOKENS_SQL}) - 2, 0)), "
+    f"i -> array_to_string(list_slice({_TOKENS_SQL}, i, i + 2), ' '))"
+)
+_NGRAM_DF_CAP = 50  # drop shingles present in > CAP docs (scale guard)
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """N-gram (word-set) Jaccard near-dup pairs — the exact baseline the
-    MinHash-LSH path approximates. Token-explode + equi-join + group: no
-    cross join, shuffles on token then pair."""
+    """3-word-shingle Jaccard near-dup pairs — the exact baseline the
+    MinHash-LSH path approximates. Shingle-explode + DF-cap + equi-join +
+    group: no cross join, and a shingle present in more than
+    ``_NGRAM_DF_CAP`` docs is excluded from the candidate universe (hot
+    shingles carry no near-dup signal but create DF²/2 join rows). Jaccard
+    is computed over the capped shingle universe on BOTH sides, emitted as
+    ``jaccard_e4`` (floor(j * 10^4), pure integer division)."""
     d = load(spark, sf_dir, "documents")
-    toks = (
-        d.select("doc_id", F.explode(F.array_distinct(F.expr(_TOKENS))).alias("tok"))
+    sh = d.select("doc_id", F.explode(F.array_distinct(F.expr(_SHINGLES3))).alias("sh"))
+    rare = (
+        sh.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= _NGRAM_DF_CAP)
+        .select("sh")
     )
-    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    capped = sh.join(rare, "sh")
+    sizes = capped.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     pairs = (
-        toks.alias("a")
-        .join(toks.alias("b"), "tok")
+        capped.alias("a")
+        .join(capped.alias("b"), "sh")
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
         .agg(F.count(F.lit(1)).alias("inter"))
@@ -490,32 +571,35 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("sz", "s1"), "d1")
         .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("sz", "s2"), "d2")
         .withColumn(
-            "jaccard",
-            (F.col("inter").cast("double") / (F.col("s1") + F.col("s2") - F.col("inter"))).cast("decimal(18,4)"),
+            "jaccard_e4",
+            F.expr("(inter * 10000) DIV (s1 + s2 - inter)"),
         )
-        .filter(F.col("jaccard") >= 0.8)
-        .select("d1", "d2", "jaccard")
+        .filter(F.col("jaccard_e4") >= 8000)
+        .select("d1", "d2", "jaccard_e4")
     )
 
 
 NGRAM_JACCARD_SQL = f"""
-    WITH tok AS (
-        SELECT DISTINCT doc_id, unnest({_TOKENS_SQL}) AS tok FROM documents
+    WITH sh AS (
+        SELECT DISTINCT doc_id, unnest({_SHINGLES3_SQL}) AS sh FROM documents
+    ), rare AS (
+        SELECT sh FROM sh GROUP BY sh HAVING count(*) <= {_NGRAM_DF_CAP}
+    ), capped AS (
+        SELECT doc_id, s.sh FROM sh s JOIN rare r ON s.sh = r.sh
     ), sizes AS (
-        SELECT doc_id, count(*) AS sz FROM tok GROUP BY doc_id
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM capped GROUP BY doc_id
     ), pairs AS (
-        SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
-        FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(count(*) AS BIGINT) AS inter
+        FROM capped a JOIN capped b ON a.sh = b.sh AND a.doc_id < b.doc_id
         GROUP BY a.doc_id, b.doc_id
     )
     SELECT d1, d2,
-           CAST(CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter)
-                AS DECIMAL(18,4)) AS jaccard
+           CAST((inter * 10000) // (s1.sz + s2.sz - inter) AS BIGINT)
+               AS jaccard_e4
     FROM pairs
     JOIN sizes s1 ON s1.doc_id = d1
     JOIN sizes s2 ON s2.doc_id = d2
-    WHERE CAST(CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter)
-               AS DECIMAL(18,4)) >= 0.8
+    WHERE (inter * 10000) // (s1.sz + s2.sz - inter) >= 8000
 """
 
 
@@ -584,15 +668,12 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"aggregate({c}, CAST(0.0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))"
         )
     )
+    cos_e4 = F.floor((dot / (norm("embedding") * norm("qv"))) * F.lit(10000.0))
     return (
         e.filter(F.col("vec_id") != 0)
         .crossJoin(F.broadcast(q))
-        .select(
-            "vec_id",
-            "label",
-            (dot / (norm("embedding") * norm("qv"))).cast("decimal(18,4)").alias("cos_sim"),
-        )
-        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .select("vec_id", "label", cos_e4.alias("cos_sim_e4"))
+        .orderBy(F.col("cos_sim_e4").desc(), F.col("vec_id"))
         .limit(10)
     )
 
@@ -617,9 +698,10 @@ ANN_SQL = """
     ),
     qn AS (SELECT sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS n2 FROM qx)
     SELECT vec_id, label,
-           CAST(dot / (sqrt(n1) * sqrt(n2)) AS DECIMAL(18,4)) AS cos_sim
+           CAST(floor(dot / (sqrt(n1) * sqrt(n2)) * 10000) AS BIGINT)
+               AS cos_sim_e4
     FROM dots, qn
-    ORDER BY cos_sim DESC, vec_id LIMIT 10
+    ORDER BY cos_sim_e4 DESC, vec_id LIMIT 10
 """
 
 
@@ -672,11 +754,13 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+    # epoch-micros BIGINT bounds + integer cents: no timestamp or decimal
+    # rendering reaches the driver's hasher
     return sess.groupBy("user_id", "session_no").agg(
-        F.min("ts").alias("session_start"),
-        F.max("ts").alias("session_end"),
+        F.min(F.unix_micros(ts_tz)).alias("session_start_us"),
+        F.max(F.unix_micros(ts_tz)).alias("session_end_us"),
         F.count(F.lit(1)).alias("n_events"),
-        F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value"),
+        F.sum(F.floor(F.col("value") * 100)).alias("sum_value_cents"),
     )
 
 
@@ -688,13 +772,18 @@ SESSIONIZE_SQL = """
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), numbered AS (
-        SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                      ROWS UNBOUNDED PRECEDING) AS session_no
+        SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id
+                                           ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                      AS session_no
         FROM flagged
     )
-    SELECT user_id, session_no, min(ts) AS session_start,
-           max(ts) AS session_end, count(*) AS n_events,
-           sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+    SELECT user_id, session_no,
+           min(epoch_us(ts)) AS session_start_us,
+           max(epoch_us(ts)) AS session_end_us,
+           count(*) AS n_events,
+           CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+               AS sum_value_cents
     FROM numbered GROUP BY user_id, session_no
 """
 
@@ -719,21 +808,19 @@ HEAVY_SQL = """
 
 # ----------------------------------------------------- relational breadth
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q1-shaped aggregate over lineitem (partial+final hash agg);
-    DECIMAL sums so the result is independent of summation order."""
+    """TPC-H Q1-shaped aggregate over lineitem (partial+final hash agg).
+    Money is fixed-point: per-row ``floor(x * scale)`` in IEEE double
+    (bit-identical across engines) summed as exact BIGINTs, so the result
+    is independent of summation order AND hash-stable."""
     li = load(spark, sf_dir, "lineitem")
-    dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
+    disc = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * F.lit(1000000.0)
     return (
         li.filter(F.col("l_shipdate") <= "1998-09-01")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(dec("l_quantity")).alias("sum_qty"),
-            F.sum(dec("l_extendedprice")).alias("sum_base_price"),
-            F.sum(
-                (dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount"))).cast(
-                    "decimal(28,8)"
-                )
-            ).alias("sum_disc_price"),
+            F.sum(F.floor(F.col("l_quantity") * 100)).alias("sum_qty_e2"),
+            F.sum(F.floor(F.col("l_extendedprice") * 100)).alias("sum_base_price_e2"),
+            F.sum(F.floor(disc)).alias("sum_disc_price_e6"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -741,11 +828,12 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PRICING_SQL = """
     SELECT l_returnflag, l_linestatus,
-           sum(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty,
-           sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS sum_base_price,
-           sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4))
-                    * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
-                    AS DECIMAL(28,8))) AS sum_disc_price,
+           CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT)
+               AS sum_qty_e2,
+           CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS sum_base_price_e2,
+           CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 1000000.0)
+                         AS BIGINT)) AS BIGINT) AS sum_disc_price_e6,
            count(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-01'
@@ -765,14 +853,15 @@ def q_broadcast_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value"),
+            F.sum(F.floor(F.col("value") * 100)).alias("sum_value_cents"),
         )
     )
 
 
 BROADCAST_SQL = """
     SELECT n_name, count(*) AS n_events,
-           sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+           CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+               AS sum_value_cents
     FROM events JOIN nation ON (user_id % 25) = n_nationkey
     GROUP BY n_name
 """

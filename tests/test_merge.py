@@ -235,3 +235,18 @@ def test_mor_compaction_preserves_state(spark, tmp_path, changes):
     assert t.read(include_deleted=True).count() == len(state)
     ops = [h["summary"]["operation"] for h in t.history()]
     assert ops.count("compact") == 2
+
+
+@pytest.mark.parametrize("mode", MODES)
+def test_empty_batch_commits_noop(spark, tmp_path, changes, mode):
+    """An empty change batch must commit a ledger no-op, not crash on the
+    empty parquet read-back (round-2 regression from the verify drive)."""
+    t = _make_table(spark, tmp_path, n_buckets=8, write_mode=mode)
+    t.merge(changes, batch_key=("q", 0))
+    before = t.read().count()
+    st = t.merge(changes.filter(F.lit(False)), batch_key=("q", 1))
+    assert not st.skipped and st.rows_upserted == 0 and st.rows_deleted == 0
+    assert t.committed("q", 1)  # ledger advanced: redelivery will skip
+    assert t.read().count() == before
+    st2 = t.merge(changes.filter(F.lit(False)), batch_key=("q", 1))
+    assert st2.skipped

@@ -1,11 +1,19 @@
 """Local mirror of the driver's correctness gate: run every registered
 query on Spark at sf0.01 AND its DuckDB oracle, compare row count, schema
 (column names), and order-insensitive values (columns sorted by name,
-values stringified). Usage: python tools/check_oracle.py [name ...]
+values stringified).
+
+Values are fetched THROUGH PANDAS on both sides (Spark ``toPandas``,
+DuckDB ``.df()``) because that is where round-1's hash failures came from:
+DuckDB decimals become float64 in pandas (``Decimal('20706.60')`` →
+``20706.6``) while Spark keeps ``Decimal`` objects with fixed scale, so a
+fetchall()-based compare passes while the driver's pandas-based hash
+fails. Usage: python tools/check_oracle.py [name ...]
 """
 
 from __future__ import annotations
 
+import math
 import os
 import sys
 
@@ -23,16 +31,27 @@ SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
 def canon(v):
     if v is None:
         return "NULL"
-    if isinstance(v, float):
-        return f"{v:.9g}"
+    if isinstance(v, float) and math.isnan(v):
+        return "NULL"
     if isinstance(v, bytes):
         return v.hex()
+    try:  # pandas NaT / NA
+        import pandas as pd
+
+        if v is pd.NaT or (hasattr(pd, "NA") and v is pd.NA):
+            return "NULL"
+    except Exception:  # noqa: BLE001
+        pass
     return str(v)
 
 
 def rowset(cols, rows):
     idx = sorted(range(len(cols)), key=lambda i: cols[i])
     return sorted(tuple(canon(r[i]) for i in idx) for r in rows)
+
+
+def pdf_rows(pdf):
+    return [tuple(r) for r in pdf.itertuples(index=False, name=None)]
 
 
 def main(names):
@@ -47,15 +66,16 @@ def main(names):
             continue
         try:
             sdf = fn(spark, SF_DIR)
-            scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            spdf = sdf.toPandas()
+            scols = list(spdf.columns)
+            srows = pdf_rows(spdf)
             sql = ORACLE_SQL.get(name)
             if sql is None:
                 print(f"{name:24s} rows={len(srows)} (no oracle — rows-only)")
                 continue
-            res = con.execute(sql)
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            dpdf = con.execute(sql).df()
+            dcols = list(dpdf.columns)
+            drows = pdf_rows(dpdf)
             ok_schema = sorted(scols) == sorted(dcols)
             ok_count = len(srows) == len(drows)
             ok_vals = ok_schema and rowset(scols, srows) == rowset(dcols, drows)
