@@ -135,15 +135,23 @@ def normalize_timestamp(
     return F.to_utc_timestamp(parsed, assume_tz)
 
 
-def payment_month_from_path(path_col: Column | str, pattern: str = r"/(\d{6})\.csv$") -> Column:
+def payment_month_from_path(
+    path_col: Column | str,
+    pattern: str = r"/(\d{6})\.csv$",
+    fmt: str = "yyyyMM",
+) -> Column:
     """T7/O6 — preprocessor-derived column: payment month from the file name
     (``/root/reference/contrib/handlers/smbc_card.go:46-58``).
 
     The reference stashes the month in ``context.Context`` per file and
     appends it per row; here it is a derived column from the path —
-    ``yyyyMM`` in the name becomes a ``yyyy-MM-01`` date string.
+    a month token in the name becomes a ``yyyy-MM-01`` date string.
+    ``pattern``/``fmt`` vary per handler: smbc_card ``/(\\d{6})\\.csv$`` +
+    ``yyyyMM``; amex_csv ``/(\\d{4}-\\d{2})\\.csv$`` + ``yyyy-MM``
+    (``amex_csv.go:16-30``); rakuten_card ``enavi(\\d{6})\\(`` + ``yyyyMM``
+    (``rakuten_card.go:20-32``).
     """
     p = F.col(path_col) if isinstance(path_col, str) else path_col
     ym = F.regexp_extract(p, pattern, 1)
-    out = F.date_format(F.try_to_date(ym, "yyyyMM"), "yyyy-MM-dd")
+    out = F.date_format(F.try_to_date(ym, fmt), "yyyy-MM-dd")
     return F.when(ym == "", F.lit(None).cast("string")).otherwise(out)

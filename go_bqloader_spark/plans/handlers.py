@@ -215,6 +215,79 @@ def smbc_card_statement(name: str, pattern: str, sink=None) -> Handler:
     return Handler(name, pattern, reader, projector, sink)
 
 
+def amex_statement_csv(name: str, pattern: str, sink=None) -> Handler:
+    """Mirror of ``contrib/handlers/amex_csv.go:13-85`` (T9 column
+    shift/overwrite): Shift-JIS CSV, skip 1 header row; ISO-normalize cols
+    0-1; then the in-place shift ``r[4]=CleanNumber(r[5]); r[5]=r[6];
+    r[6]=r[7]; r[7]=""`` (amex_csv.go:52-62) and append ``payment_month``
+    from ``/(\\d{4}-\\d{2})\\.csv$`` in the file name (amex_csv.go:16-30).
+
+    Spark ``select`` has snapshot semantics — every expression reads the
+    PRE-overwrite input row — which matches the Go code exactly because it
+    reads each ``r[k]`` before writing it (left-to-right shift)."""
+    cols = [
+        "date", "proc_date", "description", "member",
+        "member_no", "amount_raw", "fx_amount", "fx_rate",
+    ]
+
+    def reader(spark: SparkSession, path: str) -> DataFrame:
+        return read_csv_files(
+            spark, path, _string_schema(cols), encoding="shift_jis",
+            skip_head_rows=1, keep_path=True,
+        )
+
+    def projector(df: DataFrame) -> DataFrame:
+        return df.select(
+            normalize_date("date").alias("date"),
+            normalize_date("proc_date").alias("proc_date"),
+            F.col("description"),
+            F.col("member"),
+            clean_number("amount_raw").alias("amount"),     # r[4] = clean(r[5])
+            F.col("fx_amount").alias("fx_currency_amount"),  # r[5] = r[6]
+            F.col("fx_rate").alias("exchange_rate"),         # r[6] = r[7]
+            F.lit("").alias("extra"),                        # r[7] = ""
+            payment_month_from_path(
+                F.col("path"), r"/(\d{4}-\d{2})\.csv$", "yyyy-MM"
+            ).alias("payment_month"),
+        )
+
+    return Handler(name, pattern, reader, projector, sink)
+
+
+def rakuten_card_statement(name: str, pattern: str, sink=None) -> Handler:
+    """Mirror of ``contrib/handlers/rakuten_card.go:17-89`` (P3 lazy-quote
+    CSV): UTF-8 CSV parsed with Go's ``LazyQuotes=true`` semantics
+    (rakuten_card.go:55-65) — reproduced via uniVocity
+    ``unescapedQuoteHandling=STOP_AT_DELIMITER`` — skip 1 header row, drop
+    rows with empty first field (rakuten_card.go:35-37), ISO-normalize the
+    date, append ``payment_month`` from ``enavi(\\d{6})\\(`` in the file
+    name (rakuten_card.go:20-32)."""
+    cols = [
+        "date", "store", "user", "method", "amount",
+        "fee", "total", "monthly_pay", "carryover", "flag",
+    ]
+
+    def reader(spark: SparkSession, path: str) -> DataFrame:
+        return read_csv_files(
+            spark, path, _string_schema(cols), skip_head_rows=1,
+            csv_options={"unescapedQuoteHandling": "STOP_AT_DELIMITER"},
+            keep_path=True,
+        )
+
+    def projector(df: DataFrame) -> DataFrame:
+        return (
+            df.filter(F.col("date") != "")
+            .withColumn("date", normalize_date("date"))
+            .withColumn(
+                "payment_month",
+                payment_month_from_path(F.col("path"), r"enavi(\d{6})\(", "yyyyMM"),
+            )
+            .drop("path", "line_no")
+        )
+
+    return Handler(name, pattern, reader, projector, sink)
+
+
 def sbi_securities_global_banking_statement(name: str, pattern: str, sink=None) -> Handler:
     """Mirror of ``contrib/handlers/sbi_securities.go:14-60``: skip a
     6-line preamble (P1 PartialCSVParser with (6, 0, "\\n"),

@@ -34,11 +34,13 @@ from go_bqloader_spark.functions.transforms import (
     clean_number,
     normalize_date,
     normalize_date_compact,
+    normalize_date_kanji,
     normalize_timestamp,
     parse_era_date,
     payment_month_from_path,
 )
 from go_bqloader_spark.operators.merge import lww_dedup, salted_lww_dedup
+from go_bqloader_spark.operators.similarity import lsh_topk
 
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
@@ -352,6 +354,160 @@ PAYMENT_MONTH_SQL = """
                     '%Y-%m-%d') AS payment_month
     FROM documents
 """
+
+
+def q_kanji_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3 Japanese-locale date normalization round-trip
+    (/root/reference/contrib/handlers/sony_bank.go:16-21): render orders
+    dates as ``yyyy年MM月dd日`` strings and parse them back to ISO."""
+    o = load(spark, sf_dir, "orders")
+    raw = F.date_format("o_orderdate", "yyyy'年'MM'月'dd'日'")
+    return o.select(
+        "o_orderkey", raw.alias("raw"), normalize_date_kanji(raw).alias("parsed")
+    )
+
+
+KANJI_SQL = """
+    SELECT o_orderkey,
+           strftime(o_orderdate, '%Y年%m月%d日') AS raw,
+           strftime(o_orderdate, '%Y-%m-%d') AS parsed
+    FROM orders
+"""
+
+
+def q_column_shift_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T9 column shift/overwrite
+    (/root/reference/contrib/handlers/amex_csv.go:52-65): the AMEX
+    projector's in-place shift ``r[4]=clean(r[5]); r[5]=r[6]; r[6]=r[7];
+    r[7]=''`` expressed as one snapshot-semantics ``select`` over columns
+    derived deterministically from ``documents`` (the raw bank-export
+    shapes, rebuilt so the oracle can compute the same strings)."""
+    d = load(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    raw_date = F.concat(
+        F.lit("2023/07/"), F.lpad(((did % 28) + 1).cast("string"), 2, "0")
+    )
+    amount_raw = F.concat(
+        F.lit("-"),
+        ((did % 9) + 1).cast("string"),
+        F.lit(","),
+        F.lpad((did % 1000).cast("string"), 3, "0"),
+    )
+    fx = F.when(
+        did % 3 == 0,
+        F.concat((did % 50).cast("string"), F.lit(".00 USD")),
+    ).otherwise(F.lit(""))
+    rate = F.when(did % 3 == 0, F.lit("147.8")).otherwise(F.lit(""))
+    return d.select(
+        "doc_id",
+        normalize_date(raw_date).alias("date"),
+        clean_number(amount_raw).alias("amount"),   # r[4] = clean(r[5])
+        fx.alias("fx_currency_amount"),             # r[5] = r[6]
+        rate.alias("exchange_rate"),                # r[6] = r[7]
+        F.lit("").alias("extra"),                   # r[7] = ""
+    )
+
+
+COLUMN_SHIFT_SQL = """
+    SELECT doc_id,
+           '2023-07-' || lpad(CAST((doc_id % 28) + 1 AS VARCHAR), 2, '0')
+               AS date,
+           '-' || CAST((doc_id % 9) + 1 AS VARCHAR)
+               || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') AS amount,
+           CASE WHEN doc_id % 3 = 0
+                THEN CAST(doc_id % 50 AS VARCHAR) || '.00 USD'
+                ELSE '' END AS fx_currency_amount,
+           CASE WHEN doc_id % 3 = 0 THEN '147.8' ELSE '' END
+               AS exchange_rate,
+           '' AS extra
+    FROM documents
+"""
+
+
+def _fixture_csv_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the deterministic SJIS CSV fixture files for the real
+    extract→decode→parse pipeline query (O2/O3/O4/O5/P1/P2). Content is a
+    pure function of the ``documents`` row count, so the DuckDB oracle can
+    reproduce every parsed row from the ``documents`` view. Fixture
+    generation is driver-side by design (it fakes the upstream bank-export
+    producer, not part of the measured plan)."""
+    import os
+    import re
+    import tempfile
+
+    n = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    base = os.path.join(
+        tempfile.gettempdir(), "gbs_fixture_" + re.sub(r"\W+", "_", sf_dir)
+    )
+    marker = os.path.join(base, f".n{n}")
+    if os.path.exists(marker):
+        return base
+    os.makedirs(base, exist_ok=True)
+    for g in range(4):
+        lines = ["タイトル行", "ヘッダ,グループ,金額"]  # 2 preamble lines
+        for i, did in enumerate(range(g, n, 4)):
+            if i % 5 == 0:
+                lines.append(f"# メモ {g}")  # noise: line-shape filtered
+            lines.append(f"D{did},{did % 7},￥{(did * 3) % 1000}円")
+        lines.append("合計,end,999")  # 1 tail line
+        with open(os.path.join(base, f"part{g}.csv"), "wb") as f:
+            f.write("\n".join(lines).encode("shift_jis"))
+    with open(marker, "w") as f:
+        f.write(str(n))
+    return base
+
+
+def q_csv_file_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL file pipeline (binaryFile → Shift-JIS decode → head/tail
+    skip → line-shape filter → from_csv → CleanNumber): O2/O3/O4/O5, P1
+    (/root/reference/contrib/handlers/handlers.go:61-77), P2
+    (smbc_card.go:23-44), T5 (handlers.go:36-51) end-to-end against an
+    oracle that recomputes every row from the documents table."""
+    from go_bqloader_spark.sources.csvlike import read_csv_files
+
+    base = _fixture_csv_dir(spark, sf_dir)
+    df = read_csv_files(
+        spark,
+        f"{base}/part*.csv",
+        "tag string, grp string, amt string",
+        encoding="shift_jis",
+        skip_head_rows=2,
+        skip_tail_rows=1,
+        line_filter=F.col("line").startswith("D"),
+    )
+    return df.select(
+        F.expr("CAST(substring(tag, 2) AS BIGINT)").alias("doc_id"),
+        F.col("grp"),
+        clean_number("amt").alias("cleaned"),
+    )
+
+
+CSV_PIPELINE_SQL = """
+    SELECT doc_id,
+           CAST(doc_id % 7 AS VARCHAR) AS grp,
+           CAST((doc_id * 3) % 1000 AS VARCHAR) AS cleaned
+    FROM documents
+"""
+
+
+def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH approximate top-k (the ANN scale path): deterministic
+    seeded bucketing, exact ranking within the query's bucket. No SQL
+    oracle (the bucketing is xxhash64-based and not expressible in DuckDB)
+    — driver records the rows-only check; recall vs the exact baseline is
+    pytest-verified (tests/test_dedup_similarity.py)."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = e.filter(F.col("vec_id") >= 3)
+    r = lsh_topk(corpus, q, k=5, n_bits=6, dim=64, seed=42)
+    return r.select(
+        "query_id",
+        "vec_id",
+        F.floor(F.col("cos_sim") * 10000).alias("cos_sim_e4"),
+        F.col("rank").cast("long").alias("rank"),
+    )
 
 
 # ------------------------------------------------ training-data pipeline ops
@@ -880,6 +1036,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "skip_leading_rows": q_skip_leading_rows,
     "null_skip_project": q_null_skip_project,
     "payment_month_append": q_payment_month_append,
+    "kanji_dates": q_kanji_dates,
+    "column_shift_project": q_column_shift_project,
+    "csv_file_pipeline": q_csv_file_pipeline,
+    "lsh_topk": q_lsh_topk,
     "exact_dedup": q_exact_dedup,
     "doc_fingerprint": q_doc_fingerprint,
     "token_stats": q_token_stats,
@@ -907,6 +1067,11 @@ ORACLE_SQL: dict[str, str] = {
     "skip_leading_rows": SKIP_ROWS_SQL,
     "null_skip_project": NULL_SKIP_SQL,
     "payment_month_append": PAYMENT_MONTH_SQL,
+    "kanji_dates": KANJI_SQL,
+    "column_shift_project": COLUMN_SHIFT_SQL,
+    "csv_file_pipeline": CSV_PIPELINE_SQL,
+    # lsh_topk intentionally has NO oracle entry (xxhash64 bucketing is not
+    # DuckDB-expressible) — the driver records a rows-only check for it.
     "exact_dedup": EXACT_DEDUP_SQL,
     "doc_fingerprint": FINGERPRINT_SQL,
     "token_stats": TOKEN_STATS_SQL,

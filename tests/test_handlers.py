@@ -10,7 +10,9 @@ from go_bqloader_spark.plans.handlers import (
     Handler,
     Registry,
     Result,
+    amex_statement_csv,
     rakuten_bank_statement,
+    rakuten_card_statement,
     sbi_securities_global_banking_statement,
     sbi_sumishin_net_bank_statement,
     smbc_card_statement,
@@ -59,6 +61,24 @@ def fixtures(tmp_path):
         ("メタ1\nメタ2\nメタ3\nメタ4\nメタ5\n"
          "入出金日,取引,摘要,出金額,入金額,通貨\n"
          "2021/01/31,買付,米国株式,\"1,234\",,USD\n").encode("utf-8")
+    )
+    # amex_csv (T9 column shift): SJIS, 8 cols, month in file name
+    (d / "2023-08.csv").write_bytes(
+        ("ご利用日,データ処理日,ご利用内容,カード会員様名,会員番号 #,金額,海外通貨利用金額,換算レート\n"
+         "2023/07/10,2023/07/10,テスト振替,HANA TEST,-99999,\"-5,120\",,\n"
+         "2023/07/03,2023/07/04,\"CLOUD, INC.\",HANA TEST,-99999,\"-2,048\",13.85 USD,147.83\n"
+         ).encode("shift_jis")
+    )
+    # rakuten_card (P3 lazy quotes): UTF-8 + BOM, fully-quoted rows, one
+    # lazy-quote row (unquoted field with inner quotes) and one
+    # empty-first-field row the projector must drop
+    (d / "enavi202012(9999).csv").write_bytes(
+        ("﻿\"利用日\",\"利用店名・商品名\",\"利用者\",\"支払方法\",\"利用金額\","
+         "\"手数料\",\"支払総額\",\"12月支払金額\",\"12月繰越残高\",\"新規サイン\"\n"
+         "\"2020/12/03\",\"カフェ\",\"本人\",\"1回払い\",\"880\",\"0\",\"880\",\"880\",\"0\",\"*\"\n"
+         "\"\",\"現地利用額 9,968円\",\"\",\"\",\"\",\"\",\"\",\"\",\"\",\"\"\n"
+         "2020/11/20,書店 \"新館\" 支店,家族,1回払い,1570,0,1570,1570,0,*\n"
+         ).encode("utf-8")
     )
     return str(d)
 
@@ -117,6 +137,46 @@ def test_sbi_securities_golden(spark, fixtures):
     assert df.columns == ["date", "trade", "currency", "summary", "out_amt", "in_amt"]
     got = _rows(df, "date", "trade", "currency", "summary", "out_amt", "in_amt")
     assert got == [("2021-01-31", "買付", "USD", "米国株式", "1234", "")]
+
+
+def test_amex_csv_golden(spark, fixtures):
+    """T9 column shift/overwrite (amex_csv.go:52-65, amex_csv_test.go:11-33
+    semantics on our own fixture): amount slot gets clean(r[5]), fx columns
+    shift left, last input slot blanks, payment_month appended from the
+    yyyy-MM file name."""
+    h = amex_statement_csv("amex", r"/\d{4}-\d{2}\.csv$")
+    df = h.run(spark, f"{fixtures}/2023-08.csv")
+    assert df.columns == [
+        "date", "proc_date", "description", "member", "amount",
+        "fx_currency_amount", "exchange_rate", "extra", "payment_month",
+    ]
+    got = sorted(_rows(df, *df.columns))
+    assert got == [
+        ("2023-07-03", "2023-07-04", "CLOUD, INC.", "HANA TEST", "-2048",
+         "13.85 USD", "147.83", "", "2023-08-01"),
+        ("2023-07-10", "2023-07-10", "テスト振替", "HANA TEST", "-5120",
+         "", "", "", "2023-08-01"),
+    ]
+
+
+def test_rakuten_card_golden(spark, fixtures):
+    """P3 lazy-quote CSV (rakuten_card.go:35-65, rakuten_card_test.go:11-32
+    semantics on our own fixture): BOM header skipped, empty-first-field row
+    dropped, unquoted lazy-quote field preserved verbatim, month appended
+    from enavi(yyyyMM)(...) file name.
+
+    Parity note: Go LazyQuotes and uniVocity STOP_AT_DELIMITER agree on
+    fully-quoted rows and on unquoted fields containing quotes (this test);
+    they differ only for QUOTED fields with unescaped inner quotes, where
+    uniVocity retains the outer quotes — no such row appears in the
+    reference fixtures."""
+    h = rakuten_card_statement("rakuten", r"enavi\d{6}\(\d+\)\.csv$")
+    df = h.run(spark, f"{fixtures}/enavi202012(9999).csv")
+    got = sorted(_rows(df, "date", "store", "user", "amount", "payment_month"))
+    assert got == [
+        ("2020-11-20", '書店 "新館" 支店', "家族", "1570", "2020-12-01"),
+        ("2020-12-03", "カフェ", "本人", "880", "2020-12-01"),
+    ]
 
 
 def test_partial_csv_head_tail(spark, tmp_path):
