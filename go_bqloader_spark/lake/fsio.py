@@ -1,0 +1,63 @@
+"""Filesystem seam for the lake table's metadata/data-file bookkeeping.
+
+The table format needs five primitives: list, exists, atomic-publish,
+create-exclusive (the commit CAS point), and delete. POSIX supplies all of
+them via rename/O_EXCL; object stores supply them differently (S3
+conditional PUT ``If-None-Match:*``, GCS ``ifGenerationMatch=0``), so the
+lake table never calls ``os`` directly — it goes through this interface.
+Only the local implementation ships in this repo; an S3/GCS implementation
+plugs in here without touching table logic.
+
+Data files themselves are written by Spark (``df.write.parquet``) straight
+to the store — this seam covers only manifest/pointer/GC operations, which
+are tiny and driver-side.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+
+class LocalFS:
+    """POSIX implementation: atomic publish via rename, CAS via O_EXCL."""
+
+    def makedirs(self, path: str) -> None:
+        os.makedirs(path, exist_ok=True)
+
+    def exists(self, path: str) -> bool:
+        return os.path.exists(path)
+
+    def listdir(self, path: str) -> list[str]:
+        try:
+            return os.listdir(path)
+        except FileNotFoundError:
+            return []
+
+    def read_text(self, path: str) -> str:
+        with open(path) as f:
+            return f.read()
+
+    def write_atomic(self, path: str, data: str) -> None:
+        """Publish ``data`` at ``path`` atomically (readers never see a
+        partial file). Object stores get this for free (PUT is atomic)."""
+        tmp = f"{path}.tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            f.write(data)
+        os.replace(tmp, path)
+
+    def create_exclusive(self, path: str, data: str) -> None:
+        """Create ``path`` iff absent — the optimistic-concurrency CAS
+        point. Raises ``FileExistsError`` when another writer won.
+        S3: conditional PUT If-None-Match:*; GCS: ifGenerationMatch=0."""
+        with open(path, "x") as f:
+            f.write(data)
+        # the content is small metadata; fsync-level durability is the
+        # caller's policy (object-store PUTs are durable on 200)
+
+    def delete(self, path: str) -> None:
+        if os.path.isdir(path):
+            shutil.rmtree(path, ignore_errors=True)
+        elif os.path.exists(path):
+            os.remove(path)

@@ -64,11 +64,13 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from go_bqloader_spark.lake.fsio import LocalFS
 from go_bqloader_spark.operators.merge import lww_dedup, salted_lww_dedup
 
 SEQ_COL = "_seq"
 DELETED_COL = "_deleted"
 _MANIFESTS = "_manifests"
+_LINEAGE = "_lineage"
 _LATEST = "LATEST"
 
 _DDL_TO_SPARK = {
@@ -97,11 +99,23 @@ class MergeStats:
 
 
 class LakeTable:
-    """A snapshot-versioned, bucket-partitioned upsert table."""
+    """A snapshot-versioned, bucket-partitioned upsert table.
 
-    def __init__(self, spark: SparkSession, path: str):
+    All metadata IO goes through a filesystem seam (:class:`LocalFS` by
+    default) so the commit protocol — CAS manifest create + atomic pointer
+    publish — ports to object stores (S3 conditional PUT, GCS generation
+    match) without touching table logic."""
+
+    # auto-compact a query's ledger once it holds this many batch entries
+    LEDGER_HORIZON = 256
+
+    def __init__(self, spark: SparkSession, path: str, fs=None):
         self.spark = spark
         self.path = path
+        self.fs = fs or LocalFS()
+        # manifests are immutable once committed — cache by version so
+        # chain walks (metrics/history) re-read each file at most once
+        self._mcache: dict[int, dict[str, Any]] = {}
 
     # ------------------------------------------------------------- create
     @staticmethod
@@ -113,6 +127,7 @@ class LakeTable:
         n_buckets: int = 32,
         bucket_col: str = "url",
         write_mode: str = "mor",
+        fs=None,
     ) -> "LakeTable":
         """Create an empty table. ``columns`` = [(name, ddl_type), ...].
 
@@ -122,7 +137,8 @@ class LakeTable:
         """
         assert write_mode in ("mor", "cow")
         key = key or ["url", "warc_ts"]
-        os.makedirs(os.path.join(path, _MANIFESTS), exist_ok=True)
+        fs = fs or LocalFS()
+        fs.makedirs(os.path.join(path, _MANIFESTS))
         fields = [
             {"id": i + 1, "name": n, "type": t} for i, (n, t) in enumerate(columns)
         ]
@@ -140,9 +156,15 @@ class LakeTable:
             "write_mode": write_mode,
             "buckets": {},
             "ledger": {},
+            # all batch ids <= ledger_floor[qid] are committed (compacted
+            # ledger entries fold into this watermark)
+            "ledger_floor": {},
+            # per-bucket max applied seq, rolled forward on every merge so
+            # resume reads ONE manifest instead of walking the chain
+            "watermarks": {},
             "summary": {"operation": "create"},
         }
-        t = LakeTable(spark, path)
+        t = LakeTable(spark, path, fs=fs)
         t._write_manifest(manifest, expected_parent=None)
         return t
 
@@ -151,26 +173,40 @@ class LakeTable:
         return os.path.join(self.path, _MANIFESTS, f"v{version:08d}.json")
 
     def current_version(self) -> int:
-        with open(os.path.join(self.path, _MANIFESTS, _LATEST)) as f:
-            return int(f.read().strip())
+        return int(self.fs.read_text(os.path.join(self.path, _MANIFESTS, _LATEST)).strip())
 
     def manifest(self, version: int | None = None) -> dict[str, Any]:
         if version is None:
             version = self.current_version()
-        with open(self._manifest_path(version)) as f:
-            return json.load(f)
+        m = self._mcache.get(version)
+        if m is None:
+            m = json.loads(self.fs.read_text(self._manifest_path(version)))
+            self._mcache[version] = m
+        return m
 
-    def history(self) -> list[dict[str, Any]]:
-        out = []
+    def _walk_chain(self):
+        """Yield manifests newest-first, stopping at the expiry horizon
+        (a parent whose manifest file was expired/GC'd)."""
         v = self.current_version()
         while v is not None:
-            m = self.manifest(v)
-            out.append({"version": m["version"], "summary": m["summary"]})
+            try:
+                m = self.manifest(v)
+            except FileNotFoundError:
+                return
+            yield m
             v = m["parent"]
+
+    def history(self) -> list[dict[str, Any]]:
+        out = [
+            {"version": m["version"], "summary": m["summary"]}
+            for m in self._walk_chain()
+        ]
         return list(reversed(out))
 
     def _write_manifest(self, manifest: dict[str, Any], expected_parent: int | None) -> None:
-        """Commit a manifest with optimistic concurrency + atomic swap."""
+        """Commit a manifest: CAS-create the immutable version file (two
+        racing writers cannot both create vN+1 — ``create_exclusive`` is
+        the linearization point), then atomically publish LATEST."""
         latest = os.path.join(self.path, _MANIFESTS, _LATEST)
         if expected_parent is not None:
             current = self.current_version()
@@ -180,13 +216,15 @@ class LakeTable:
                     f"found {current}"
                 )
         mpath = self._manifest_path(manifest["version"])
-        with open(mpath + ".tmp", "w") as f:
-            json.dump(manifest, f)
-        os.replace(mpath + ".tmp", mpath)
-        tmp = latest + f".tmp.{uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            f.write(str(manifest["version"]))
-        os.replace(tmp, latest)  # atomic on POSIX — the snapshot commit point
+        try:
+            self.fs.create_exclusive(mpath, json.dumps(manifest))
+        except FileExistsError as e:
+            raise RuntimeError(
+                f"concurrent commit detected: manifest v{manifest['version']} "
+                "already exists (another writer committed first)"
+            ) from e
+        self.fs.write_atomic(latest, str(manifest["version"]))
+        self._mcache[manifest["version"]] = manifest
 
     # -------------------------------------------------------------- schema
     def schema_fields(self, m: dict[str, Any] | None = None) -> list[dict[str, Any]]:
@@ -201,6 +239,8 @@ class LakeTable:
     def add_column(self, name: str, ddl_type: str) -> None:
         m = self.manifest()
         fields = [dict(f) for f in self.schema_fields(m)]
+        if name in (SEQ_COL, DELETED_COL) or name.startswith("_"):
+            raise ValueError(f"column name {name} is reserved (engine columns)")
         if any(f["name"] == name for f in fields):
             raise ValueError(f"column {name} exists")
         new_id = max(f["id"] for f in fields) + 1
@@ -209,17 +249,37 @@ class LakeTable:
         self._commit_schema(m, fields, f"add column {name} {ddl_type}")
 
     def rename_column(self, old: str, new: str) -> None:
+        """Rename a column. Engine columns are immutable; renaming a key or
+        bucket column atomically rewrites ``key``/``bucket_col`` in the
+        same manifest commit so merges keep resolving (a rename must never
+        strand the structural pointers at the old name)."""
+        if old in (SEQ_COL, DELETED_COL):
+            raise ValueError(f"cannot rename engine column {old}")
+        if new in (SEQ_COL, DELETED_COL) or new.startswith("_"):
+            raise ValueError(f"column name {new} is reserved (engine columns)")
         m = self.manifest()
         fields = [dict(f) for f in self.schema_fields(m)]
+        if any(f["name"] == new for f in fields):
+            raise ValueError(f"column {new} exists")
         for f in fields:
             if f["name"] == old:
                 f["name"] = new
                 break
         else:
             raise ValueError(f"no column {old}")
-        self._commit_schema(m, fields, f"rename {old} -> {new}")
+        structural = {
+            "key": [new if k == old else k for k in m["key"]],
+            "bucket_col": new if m["bucket_col"] == old else m["bucket_col"],
+        }
+        self._commit_schema(m, fields, f"rename {old} -> {new}", structural)
 
-    def _commit_schema(self, m: dict[str, Any], fields: list[dict], op: str) -> None:
+    def _commit_schema(
+        self,
+        m: dict[str, Any],
+        fields: list[dict],
+        op: str,
+        structural: dict[str, Any] | None = None,
+    ) -> None:
         sv = m["schema_version"] + 1
         m2 = dict(m)
         m2["schemas"] = dict(m["schemas"], **{str(sv): fields})
@@ -228,6 +288,7 @@ class LakeTable:
         m2["version"] = m["version"] + 1
         m2["summary"] = {"operation": op}
         m2["metrics"] = []
+        m2.update(structural or {})
         self._write_manifest(m2, expected_parent=m["version"])
 
     # ---------------------------------------------------------------- read
@@ -299,8 +360,36 @@ class LakeTable:
     def _bucket_expr(self, m: dict[str, Any]) -> F.Column:
         return F.pmod(F.xxhash64(F.col(m["bucket_col"])), F.lit(m["n_buckets"])).cast("int")
 
+    @staticmethod
+    def _committed_in(m: dict[str, Any], query_id: str, batch_id: int) -> bool:
+        if batch_id <= m.get("ledger_floor", {}).get(query_id, -1):
+            return True
+        return str(batch_id) in m["ledger"].get(query_id, {})
+
     def committed(self, query_id: str, batch_id: int) -> bool:
-        return str(batch_id) in self.manifest()["ledger"].get(query_id, {})
+        return self._committed_in(self.manifest(), query_id, batch_id)
+
+    def _advance_ledger(
+        self, m: dict[str, Any], batch_key: tuple[str, int] | None, max_seq
+    ) -> tuple[dict, dict]:
+        """Record the batch in the ledger; once a query holds more than
+        ``LEDGER_HORIZON`` entries, fold the contiguous committed prefix
+        into ``ledger_floor`` (membership stays exact — only batch ids
+        provably below the floor are dropped), so the ledger is O(horizon)
+        instead of O(total batches) at 10^10-event replay scale."""
+        ledger = {q: dict(v) for q, v in m["ledger"].items()}
+        floors = dict(m.get("ledger_floor", {}))
+        if batch_key is not None:
+            qid, bid = batch_key
+            ledger.setdefault(qid, {})[str(bid)] = max_seq
+            entries = ledger[qid]
+            if len(entries) > self.LEDGER_HORIZON:
+                floor = floors.get(qid, -1)
+                while str(floor + 1) in entries:
+                    del entries[str(floor + 1)]
+                    floor += 1
+                floors[qid] = floor
+        return ledger, floors
 
     def _align_changes(self, m: dict[str, Any], changes: DataFrame) -> DataFrame:
         """Normalize change columns to the current schema (NULL-fill absent
@@ -329,10 +418,8 @@ class LakeTable:
         """
         m = self.manifest()
         version = m["version"]
-        if batch_key is not None:
-            qid, bid = batch_key
-            if str(bid) in m["ledger"].get(qid, {}):
-                return MergeStats(version, True, [], 0, 0, None)
+        if batch_key is not None and self._committed_in(m, *batch_key):
+            return MergeStats(version, True, [], 0, 0, None)
 
         key = m["key"]
         data_cols = [
@@ -455,7 +542,7 @@ class LakeTable:
         out_rows.write.partitionBy("b").mode("overwrite").parquet(out_dir)
 
         written = {
-            int(d.split("=", 1)[1]) for d in os.listdir(out_dir) if d.startswith("b=")
+            int(d.split("=", 1)[1]) for d in self.fs.listdir(out_dir) if d.startswith("b=")
         }
         if stats_rows is None:
             if not written:  # empty mor batch: nothing written, no-op commit
@@ -493,9 +580,13 @@ class LakeTable:
             entry = {"path": os.path.join(rel, f"b={b}"), "schema_version": m["schema_version"]}
             new_buckets.setdefault(str(b), []).append(entry)
 
-        ledger = {q: dict(v) for q, v in m["ledger"].items()}
-        if batch_key is not None:
-            ledger.setdefault(batch_key[0], {})[str(batch_key[1])] = max_seq
+        ledger, floors = self._advance_ledger(m, batch_key, max_seq)
+        # roll the per-bucket applied-seq watermark forward so resume reads
+        # exactly ONE manifest (no chain walk)
+        wms = dict(m.get("watermarks", {}))
+        for b, mx, _up, _dl in stats_rows:
+            if mx is not None and (str(b) not in wms or mx > wms[str(b)]):
+                wms[str(b)] = mx
         qid, bid = batch_key if batch_key else ("", -1)
         m2 = dict(
             m,
@@ -503,6 +594,8 @@ class LakeTable:
             parent=m["version"],
             buckets=new_buckets,
             ledger=ledger,
+            ledger_floor=floors,
+            watermarks=wms,
             # per-bucket lineage metrics ride in the manifest: no extra
             # Spark job per batch, and they commit atomically WITH the data
             metrics=[
@@ -524,14 +617,13 @@ class LakeTable:
         )
 
     def _commit_noop(self, m: dict[str, Any], batch_key: tuple[str, int] | None) -> MergeStats:
-        ledger = {q: dict(v) for q, v in m["ledger"].items()}
-        if batch_key is not None:
-            ledger.setdefault(batch_key[0], {})[str(batch_key[1])] = None
+        ledger, floors = self._advance_ledger(m, batch_key, None)
         m2 = dict(
             m,
             version=m["version"] + 1,
             parent=m["version"],
             ledger=ledger,
+            ledger_floor=floors,
             metrics=[],
             summary={"operation": "merge", "affected_buckets": 0, "rows_upserted": 0, "rows_deleted": 0},
         )
@@ -579,7 +671,7 @@ class LakeTable:
             .parquet(out_dir)
         )
         written = {
-            int(d.split("=", 1)[1]) for d in os.listdir(out_dir) if d.startswith("b=")
+            int(d.split("=", 1)[1]) for d in self.fs.listdir(out_dir) if d.startswith("b=")
         }
         new_buckets = {b: list(entries) for b, entries in m["buckets"].items()}
         for b in targets:
@@ -606,25 +698,72 @@ class LakeTable:
     )
 
     def metrics(self) -> DataFrame:
-        """Lineage/metrics table: one row per (commit, bucket), accumulated
-        from the manifest chain (committed atomically with each merge)."""
+        """Lineage/metrics table: one row per (commit, bucket). Recent rows
+        ride in the manifest chain (committed atomically with each merge);
+        rows whose manifests were expired live in the parquet spill table
+        under ``_lineage/`` — the union is the complete history."""
         rows = []
-        v = self.current_version()
-        while v is not None:
-            m = self.manifest(v)
+        for m in self._walk_chain():
             rows.extend(tuple(r) for r in m.get("metrics", []))
-            v = m["parent"]
-        return self.spark.createDataFrame(rows, self._METRICS_SCHEMA)
+        df = self.spark.createDataFrame(rows, self._METRICS_SCHEMA)
+        spill = os.path.join(self.path, _LINEAGE)
+        if self.fs.exists(spill) and any(
+            f.endswith(".parquet") for f in self.fs.listdir(spill)
+        ):
+            df = self.spark.read.schema(self._METRICS_SCHEMA).parquet(spill).unionByName(df)
+        return df
 
     def resume_watermarks(self) -> dict[int, int]:
-        """Per-bucket max applied seq — the resumable-replay watermark."""
-        wm: dict[int, int] = {}
-        v = self.current_version()
-        while v is not None:
-            m = self.manifest(v)
-            for r in m.get("metrics", []):
-                b, s = int(r[3]), r[4]
-                if s is not None and (b not in wm or s > wm[b]):
-                    wm[b] = s
-            v = m["parent"]
-        return wm
+        """Per-bucket max applied seq — the resumable-replay watermark.
+        O(1): read from the rolled-forward map in the LATEST manifest (no
+        chain walk — bounded regardless of commit count)."""
+        return {int(b): s for b, s in self.manifest().get("watermarks", {}).items()}
+
+    # --------------------------------------------------------------- expiry
+    def expire_snapshots(self, keep_n: int = 10) -> dict[str, int]:
+        """Truncate the manifest chain to the newest ``keep_n`` snapshots
+        and GC data files no retained snapshot references.
+
+        Expired manifests' lineage metrics are spilled to the parquet
+        ``_lineage/`` table first, so ``metrics()`` stays complete. Without
+        expiry an endless-tail deployment accumulates one manifest + delta
+        files per batch forever; with it, metadata and storage are bounded
+        by ``keep_n`` + live data. Time travel below the horizon is gone —
+        that is the point."""
+        chain = list(self._walk_chain())
+        if len(chain) <= keep_n:
+            return {"expired": 0, "data_dirs_removed": 0}
+        retained, expired = chain[:keep_n], chain[keep_n:]
+
+        rows = [tuple(r) for m in expired for r in m.get("metrics", [])]
+        if rows:
+            spill = os.path.join(self.path, _LINEAGE)
+            self.fs.makedirs(spill)
+            self.spark.createDataFrame(rows, self._METRICS_SCHEMA).coalesce(
+                1
+            ).write.mode("append").parquet(spill)
+
+        referenced = {
+            e["path"]
+            for m in retained
+            for entries in m["buckets"].values()
+            for e in entries
+        }
+        for m in expired:
+            self.fs.delete(self._manifest_path(m["version"]))
+            self._mcache.pop(m["version"], None)
+
+        removed = 0
+        data_root = os.path.join(self.path, "data")
+        for commit_dir in self.fs.listdir(data_root):
+            cdir = os.path.join(data_root, commit_dir)
+            for bdir in self.fs.listdir(cdir):
+                if not bdir.startswith("b="):
+                    continue
+                rel = os.path.join("data", commit_dir, bdir)
+                if rel not in referenced:
+                    self.fs.delete(os.path.join(cdir, bdir))
+                    removed += 1
+            if not any(d.startswith("b=") for d in self.fs.listdir(cdir)):
+                self.fs.delete(cdir)
+        return {"expired": len(expired), "data_dirs_removed": removed}

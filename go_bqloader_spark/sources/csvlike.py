@@ -59,14 +59,14 @@ def read_lines(
 
 
 def _sliced_lines(encoding: str, sep: str, skip_head: int, skip_tail: int) -> Column:
+    """Exact PartialCSVParser slicing
+    (``/root/reference/contrib/handlers/handlers.go:61-77``): split the raw
+    body on ``sep`` and take ``lines[head : len-tail]`` — the tail skip
+    counts the trailing empty element a final newline produces, exactly
+    like the reference (callers of newline-terminated files pass
+    ``skip_tail_rows = n_noise_lines + 1``)."""
     body = F.decode(F.col("content"), encoding)
     lines = F.split(body, sep)
-    # drop a trailing empty element produced by a final newline BEFORE
-    # applying the tail skip (the reference splits the raw body the same
-    # way and its fixtures end without a trailing empty line)
-    lines = F.when(
-        F.element_at(lines, -1) == "", F.slice(lines, 1, F.size(lines) - 1)
-    ).otherwise(lines)
     n = F.size(lines)
     keep = F.greatest(n - skip_head - skip_tail, F.lit(0))
     return F.slice(lines, skip_head + 1, keep)
@@ -99,6 +99,15 @@ def read_csv_files(
     raw = spark.read.format("binaryFile").load(path)
     body = _sliced_lines(encoding, sep, skip_head_rows, skip_tail_rows)
     df = raw.select(F.col("path"), F.posexplode(body).alias("line_no", "line"))
+    if sep == "\n":
+        # CRLF robustness beyond the reference (which expects callers to
+        # pass sep="\r\n"): strip one trailing \r so mixed-ending exports
+        # parse identically
+        df = df.withColumn("line", F.regexp_replace("line", r"\r$", ""))
+    # Go's csv reader skips blank lines entirely (RFC-4180 empty record);
+    # mirror that AFTER the head/tail slice, exactly like the reference's
+    # join-then-parse pipeline (handlers.go:69-70)
+    df = df.filter(F.col("line") != "")
     if line_filter is not None:
         df = df.filter(line_filter)
     parsed = F.from_csv(F.col("line"), schema, csv_options or {})

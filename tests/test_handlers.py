@@ -179,13 +179,41 @@ def test_rakuten_card_golden(spark, fixtures):
     ]
 
 
-def test_partial_csv_head_tail(spark, tmp_path):
-    # PartialCSVParser head/tail matrix (handlers_test.go:105-164)
+@pytest.mark.parametrize(
+    "head,tail,sep,body",
+    [
+        # the reference's exact matrix (handlers_test.go:105-164): tail
+        # skip counts raw split elements (incl. a trailing empty from a
+        # final newline); blank lines inside the slice are skipped like
+        # Go's csv reader does
+        (3, 3, "\n", "foo\n\nbar\n1,2,3\n4,5,6\n\nbaz\nqux"),
+        (0, 3, "\n", "1,2,3\n4,5,6\n\nbaz\nqux"),
+        (3, 0, "\n", "foo\n\nbar\n1,2,3\n4,5,6"),
+        (3, 3, "\r\n", "foo\r\n\r\nbar\r\n1,2,3\r\n4,5,6\r\n\r\nbaz\r\nqux"),
+        # CRLF file read with sep="\n" (engine extension: \r stripped)
+        (3, 3, "\n", "foo\r\n\r\nbar\r\n1,2,3\r\n4,5,6\r\n\r\nbaz\r\nqux"),
+    ],
+)
+def test_partial_csv_head_tail(spark, tmp_path, head, tail, sep, body):
     p = tmp_path / "t.csv"
-    p.write_text("h1\nh2\na,1\nb,2\nc,3\ntail\n")
+    p.write_text(body)
+    df = read_csv_files(spark, str(p), "a string, b string, c string",
+                        skip_head_rows=head, skip_tail_rows=tail, sep=sep)
+    assert sorted(_rows(df, "a", "b", "c")) == [("1", "2", "3"), ("4", "5", "6")]
+
+
+def test_partial_csv_tail_counts_trailing_newline(spark, tmp_path):
+    """Newline-terminated file: skip_tail_rows counts the empty trailing
+    element, so tail=1 keeps the last real line (reference parity —
+    handlers.go:68; callers pass n_noise+1 for terminated files)."""
+    p = tmp_path / "t.csv"
+    p.write_text("h1\na,1\nb,2\ntail,x\n")
     df = read_csv_files(spark, str(p), "k string, v string",
-                        skip_head_rows=2, skip_tail_rows=1)
-    assert sorted(_rows(df, "k", "v")) == [("a", "1"), ("b", "2"), ("c", "3")]
+                        skip_head_rows=1, skip_tail_rows=1)
+    assert sorted(_rows(df, "k", "v")) == [("a", "1"), ("b", "2"), ("tail", "x")]
+    df2 = read_csv_files(spark, str(p), "k string, v string",
+                         skip_head_rows=1, skip_tail_rows=2)
+    assert sorted(_rows(df2, "k", "v")) == [("a", "1"), ("b", "2")]
 
 
 def test_registry_fanout_and_error_semantics(spark, fixtures):
