@@ -46,18 +46,32 @@ def make_fake_image(width: int, height: int, seed: int) -> bytes:
     return _MAGIC + struct.pack("<II", width, height) + body
 
 
+try:  # real codec path when PIL is installed; deterministic stub otherwise
+    from PIL import Image as _PILImage  # type: ignore
+except ImportError:  # this container ships no imaging libs — stub only
+    _PILImage = None
+
+
 def _decode_one(payload: bytes | None) -> tuple[str | None, int | None, int | None]:
-    """STUB decode: parse the deterministic fake header. Replace with
-    PIL.Image.open for real corpora — the surrounding plan is unchanged."""
+    """Decode one payload header. The deterministic FAKEIMG header always
+    works (tests/datagen); anything else uses PIL when available and
+    raises the documented NotImplementedError otherwise — the surrounding
+    distributed plan is identical either way."""
     if payload is None:
         return None, None, None
-    if not payload.startswith(_MAGIC):
-        raise NotImplementedError(
-            "real image decoding is stubbed in this environment; payload "
-            "does not carry the deterministic FAKEIMG header"
-        )
-    w, h = struct.unpack("<II", payload[len(_MAGIC) : len(_MAGIC) + 8])
-    return "image/fake", int(w), int(h)
+    if payload.startswith(_MAGIC):
+        w, h = struct.unpack("<II", payload[len(_MAGIC) : len(_MAGIC) + 8])
+        return "image/fake", int(w), int(h)
+    if _PILImage is not None:
+        import io
+
+        with _PILImage.open(io.BytesIO(payload)) as img:
+            fmt = (img.format or "unknown").lower()
+            return f"image/{fmt}", int(img.width), int(img.height)
+    raise NotImplementedError(
+        "real image decoding requires PIL (absent in this environment); "
+        "payload does not carry the deterministic FAKEIMG header"
+    )
 
 
 def _feature_one(payload: bytes | None, dim: int = 8) -> list[float] | None:

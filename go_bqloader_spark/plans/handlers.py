@@ -69,29 +69,51 @@ class Handler:
 
 @dataclass
 class Registry:
+    """Handler registry with errgroup-style fan-out.
+
+    ``concurrency`` mirrors the reference's ``WithConcurrency`` option
+    (``/root/reference/option.go:41-47``, default 1 at ``bqloader.go:30``):
+    matching handlers run in a thread pool of that size — Spark's scheduler
+    is thread-safe, so concurrent handlers overlap their job scheduling
+    exactly like the reference's goroutines overlap network IO."""
+
     handlers: list[Handler] = field(default_factory=list)
     notify: Callable[[Result], None] | None = None
+    concurrency: int = 1
 
     def add(self, handler: Handler) -> None:
         if any(h.name == handler.name for h in self.handlers):
             raise ValueError(f"duplicate handler {handler.name}")
         self.handlers.append(handler)
 
+    def _run_one(self, spark: SparkSession, h: Handler, path: str) -> Result:
+        res = Result(handler=h.name, path=path)
+        try:
+            df = h.run(spark, path)
+            res.rows = h.sink(df) if h.sink else df.count()
+        except Exception as e:  # noqa: BLE001 — reference surfaces, not masks
+            res.error = e
+        return res
+
     def dispatch(self, spark: SparkSession, path: str) -> list[Result]:
-        """Fan out one event; all matching handlers run (errors don't stop
-        siblings); notify per result; raise the first error at the end."""
-        results: list[Result] = []
-        for h in self.handlers:
-            if not h.matches(path):
-                continue
-            res = Result(handler=h.name, path=path)
-            try:
-                df = h.run(spark, path)
-                res.rows = h.sink(df) if h.sink else df.count()
-            except Exception as e:  # noqa: BLE001 — reference surfaces, not masks
-                res.error = e
-            results.append(res)
-            if self.notify:
+        """Fan out one event; ALL matching handlers run (an error doesn't
+        stop siblings — ``/root/reference/bqloader.go:119-128`` errgroup);
+        notify per result (always, even on error — ``handler.go:89-95``);
+        raise the first error after the fan-out completes. Results and
+        notifications are in registration order (deterministic; the
+        reference's completion order is scheduler-dependent)."""
+        matched = [h for h in self.handlers if h.matches(path)]
+        if self.concurrency > 1 and len(matched) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=self.concurrency) as pool:
+                results = list(
+                    pool.map(lambda h: self._run_one(spark, h, path), matched)
+                )
+        else:
+            results = [self._run_one(spark, h, path) for h in matched]
+        if self.notify:
+            for res in results:
                 self.notify(res)
         first_err = next((r.error for r in results if r.error), None)
         if first_err is not None:

@@ -242,3 +242,23 @@ def test_registry_duplicate_name_rejected(spark):
     reg.add(Handler("x", r".*", lambda s, p: None))
     with pytest.raises(ValueError):
         reg.add(Handler("x", r".*", lambda s, p: None))
+
+
+def test_registry_concurrent_fanout(spark, fixtures):
+    """WithConcurrency parity (option.go:41-47, bqloader.go:119-128): with
+    concurrency=2 both matching handlers run simultaneously — the barrier
+    only releases when the two readers are in-flight at once."""
+    import threading
+
+    barrier = threading.Barrier(2, timeout=30)
+
+    def reader(spark_, path):
+        barrier.wait()
+        return spark_.range(1).toDF("n")
+
+    reg = Registry(concurrency=2)
+    reg.add(Handler("h1", r"sony_bank\.csv$", reader))
+    reg.add(Handler("h2", r"sony_bank\.csv$", reader))
+    results = reg.dispatch(spark, f"{fixtures}/sony_bank.csv")
+    assert [r.handler for r in results] == ["h1", "h2"]
+    assert all(r.error is None and r.rows == 1 for r in results)

@@ -61,3 +61,21 @@ def test_unknown_payload_raises_not_implemented(spark):
     ).select("url", F.to_timestamp("warc_ts").alias("warc_ts"), "payload")
     with pytest.raises(Exception, match="(?i)stub|NotImplemented"):
         decode_image_meta(df).collect()
+
+
+def test_real_codec_path_when_pil_present(spark):
+    """The real-codec branch decodes an actual PNG via PIL; auto-skips in
+    environments without imaging libs (the stub path stays tested above)."""
+    PIL = pytest.importorskip("PIL")
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (12, 7)).save(buf, format="PNG")
+    df = spark.createDataFrame(
+        [("u1", None, bytearray(buf.getvalue()))],
+        "url string, warc_ts timestamp, payload binary",
+    )
+    row = decode_image_meta(df).collect()[0]
+    assert (row["mime"], row["width"], row["height"]) == ("image/png", 12, 7)
