@@ -30,22 +30,9 @@ from go_bqloader_spark.plans import QUERIES  # noqa: E402
 from go_bqloader_spark.session import build_session  # noqa: E402
 from go_bqloader_spark.sources import CHANGE_SCHEMA, gen_changes  # noqa: E402
 
-HEADLINE = [
-    "lww_dedup",
-    "salted_lww_dedup",
-    "cdc_merge_state",
-    "cdc_batch_metrics",
-    "clean_number",
-    "date_normalize",
-    "era_dates",
-    "timestamp_normalize",
-    "token_stats",
-    "quality_score",
-    "exact_dedup",
-    "ann_cosine_topk",
-    "pricing_summary",
-    "broadcast_enrich",
-]
+# every registered query is timed (VERDICT r1: partial HEADLINE hid
+# per-query regressions between rounds)
+HEADLINE = list(QUERIES)
 
 PAGE_COLS = [
     ("url", "string"),

@@ -9,6 +9,8 @@ Subcommands (argv[1]):
 - ``merge    <table_path> <batch_parquet> <query_id> <batch_id>`` — apply
   one batch (idempotent by ledger key)
 - ``compact  <table_path> [--expire-tombstones]`` — fold MoR deltas
+- ``expire   <table_path> [keep_n]`` — truncate snapshot history + GC
+  unreferenced data files (lineage metrics spill to ``_lineage/``)
 - ``status   <table_path>`` — version, history, watermarks, entry counts
 - ``gen      <out_dir> <n_events> [n_batches]`` — stage a deterministic
   synthetic change feed (seed 42)
@@ -72,6 +74,11 @@ def main(argv: list[str]) -> int:
         t = LakeTable(spark, args[0])
         n = t.compact(expire_tombstones="--expire-tombstones" in args)
         print(json.dumps({"compacted_buckets": n, "version": t.current_version()}))
+    elif cmd == "expire":
+        t = LakeTable(spark, args[0])
+        keep_n = int(args[1]) if len(args) > 1 else 16
+        out = t.expire_snapshots(keep_n=keep_n)
+        print(json.dumps({**out, "version": t.current_version()}))
     elif cmd == "status":
         t = LakeTable(spark, args[0])
         wm = t.resume_watermarks()

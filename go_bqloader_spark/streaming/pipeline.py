@@ -41,6 +41,7 @@ def start_cdc_stream(
     max_files_per_trigger: int = 8,
     projector: Callable[[DataFrame], DataFrame] | None = None,
     compact_every: int = 16,
+    expire_keep: int | None = 64,
     schema: str = CHANGE_SCHEMA,
 ) -> StreamingQuery:
     """Start the streaming apply; returns the StreamingQuery handle."""
@@ -54,10 +55,15 @@ def start_cdc_stream(
         if projector is not None:
             batch_df = projector(batch_df)
         table.merge(batch_df, batch_key=(query_name, batch_id))
-        # MoR maintenance: fold delta entries periodically so read
-        # amplification stays bounded during an endless tail
+        # MoR maintenance, same single-writer thread as the merges: fold
+        # delta entries periodically so read amplification stays bounded,
+        # and expire old snapshots so manifests + dead files don't
+        # accumulate forever during an endless tail (metrics spill keeps
+        # lineage complete)
         if compact_every and batch_id > 0 and batch_id % compact_every == 0:
             table.compact(min_entries=4)
+            if expire_keep:
+                table.expire_snapshots(keep_n=expire_keep)
 
     return (
         stream.writeStream.queryName(query_name)
