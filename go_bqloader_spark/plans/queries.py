@@ -861,6 +861,102 @@ ANN_SQL = """
 """
 
 
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs — the exact blocked baseline for
+    embedding dedup. Blocking on ``label`` (the natural shard/cluster key)
+    keeps the pairwise work per block; the unblocked scale path is
+    hyperplane-LSH bucketing (``lsh_topk``/``hyperplane_lsh_buckets``).
+    Output is ``cos_e4`` BIGINT (floor(cos * 10^4)) for hash stability."""
+    e = load(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("v1"), "label", F.col("embedding").alias("e1"))
+    b = e.select(F.col("vec_id").alias("v2"), "label", F.col("embedding").alias("e2"))
+    dot = F.expr(
+        "aggregate(zip_with(e1, e2, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    nrm = lambda c: F.sqrt(  # noqa: E731
+        F.expr(
+            f"aggregate({c}, CAST(0.0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))"
+        )
+    )
+    cos_e4 = F.floor(dot / (nrm("e1") * nrm("e2")) * F.lit(10000.0))
+    return (
+        a.join(b, "label")
+        .filter(F.col("v1") < F.col("v2"))
+        .select("label", "v1", "v2", cos_e4.alias("cos_e4"))
+        # the synthetic corpus has no true near-dups (max within-label cos
+        # = 0.475); 0.35 exercises the full plan + threshold semantics
+        .filter(F.col("cos_e4") >= 3500)
+    )
+
+
+EMB_NEAR_DUP_SQL = """
+    WITH ex AS (
+        SELECT vec_id, label, unnest(embedding) AS x,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings
+    ), norms AS (
+        SELECT vec_id, sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS n2
+        FROM ex GROUP BY vec_id
+    ), dots AS (
+        SELECT a.label, a.vec_id AS v1, b.vec_id AS v2,
+               sum(CAST(a.x AS DOUBLE) * CAST(b.x AS DOUBLE)) AS dot
+        FROM ex a JOIN ex b
+          ON a.label = b.label AND a.i = b.i AND a.vec_id < b.vec_id
+        GROUP BY a.label, a.vec_id, b.vec_id
+    )
+    SELECT d.label, d.v1, d.v2,
+           CAST(floor(d.dot / (sqrt(na.n2) * sqrt(nb.n2)) * 10000) AS BIGINT)
+               AS cos_e4
+    FROM dots d
+    JOIN norms na ON na.vec_id = d.v1
+    JOIN norms nb ON nb.vec_id = d.v2
+    WHERE floor(d.dot / (sqrt(na.n2) * sqrt(nb.n2)) * 10000) >= 3500
+"""
+
+
+def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex token counting (alpha runs / digit runs / single
+    punctuation — the pre-tokenizer split every BPE vocab starts from),
+    alongside the whitespace count. Disjoint classes, so the class counts
+    sum to the total; pure counts → hash-stable."""
+    d = load(spark, sf_dir, "documents")
+    cnt = lambda pat: F.size(  # noqa: E731
+        F.regexp_extract_all(F.col("text"), F.lit(pat), 0)
+    ).cast("long")
+    base = d.select(
+        "doc_id",
+        cnt(r"[A-Za-z]+").alias("n_alpha"),
+        cnt(r"[0-9]+").alias("n_num"),
+        cnt(r"[^A-Za-z0-9\s]").alias("n_punct"),
+        F.size(F.expr(_TOKENS)).cast("long").alias("n_ws_tokens"),
+    )
+    return base.select(
+        "doc_id",
+        (F.col("n_alpha") + F.col("n_num") + F.col("n_punct")).alias("n_bpe_tokens"),
+        "n_alpha",
+        "n_num",
+        "n_punct",
+        "n_ws_tokens",
+    )
+
+
+BPE_TOKEN_SQL = f"""
+    WITH t AS (
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT)
+                   AS n_alpha,
+               CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_num,
+               CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS BIGINT)
+                   AS n_punct,
+               CAST(len({_TOKENS_SQL}) AS BIGINT) AS n_ws_tokens
+        FROM documents
+    )
+    SELECT doc_id, n_alpha + n_num + n_punct AS n_bpe_tokens,
+           n_alpha, n_num, n_punct, n_ws_tokens
+    FROM t
+"""
+
+
 def q_windowed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling event-time windows (the streaming metrics aggregation of
     streaming/windows.py, run in batch mode for oracle checkability)."""
@@ -1048,6 +1144,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard": q_ngram_jaccard,
     "minhash_lsh": q_minhash_lsh,
     "ann_cosine_topk": q_ann_cosine_topk,
+    "embedding_near_dup": q_embedding_near_dup,
+    "bpe_token_stats": q_bpe_token_stats,
     "windowed_metrics": q_windowed_metrics,
     "sessionize": q_sessionize,
     "heavy_hitters": q_heavy_hitters,
@@ -1080,6 +1178,8 @@ ORACLE_SQL: dict[str, str] = {
     "ngram_jaccard": NGRAM_JACCARD_SQL,
     "minhash_lsh": MINHASH_SQL,
     "ann_cosine_topk": ANN_SQL,
+    "embedding_near_dup": EMB_NEAR_DUP_SQL,
+    "bpe_token_stats": BPE_TOKEN_SQL,
     "windowed_metrics": WINDOWED_SQL,
     "sessionize": SESSIONIZE_SQL,
     "heavy_hitters": HEAVY_SQL,
