@@ -51,6 +51,16 @@ class Result:
     error: Exception | None = None
     rows: int = -1
 
+    def message(self) -> str:
+        """The reference's notification text, verbatim format
+        (``/root/reference/notifier.go:70-74``)."""
+        if self.error is None:
+            return (
+                f":white_check_mark: {self.handler} handler successfully "
+                f"loaded {self.path}"
+            )
+        return f":x: {self.handler} handler failed to load {self.path}: {self.error}"
+
 
 @dataclass
 class Handler:

@@ -262,3 +262,14 @@ def test_registry_concurrent_fanout(spark, fixtures):
     results = reg.dispatch(spark, f"{fixtures}/sony_bank.csv")
     assert [r.handler for r in results] == ["h1", "h2"]
     assert all(r.error is None and r.rows == 1 for r in results)
+
+
+def test_notifier_message_format():
+    """Message-text parity with the reference's Slack notifier
+    (notifier.go:70-74)."""
+    ok = Result(handler="h1", path="path_to/2023-08.csv", rows=4)
+    assert ok.message() == (
+        ":white_check_mark: h1 handler successfully loaded path_to/2023-08.csv"
+    )
+    bad = Result(handler="h1", path="p.csv", error=RuntimeError("boom"))
+    assert bad.message() == ":x: h1 handler failed to load p.csv: boom"

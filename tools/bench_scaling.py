@@ -42,7 +42,7 @@ N_BATCHES = 8
 N_BUCKETS = 64
 PRIMARY = (2, 8, 1)  # (N cores, 4N cores, n_batches → N_EVENTS/N_BATCHES each)
 DIAGNOSTIC = (8, 32, N_BATCHES)
-PRIMARY_REPS = 4
+PRIMARY_REPS = 6
 
 
 def stage_feed(work: str) -> str:
@@ -159,8 +159,10 @@ def main():
         # the quiet windows; every rep is recorded for transparency
         best: dict[int, dict] = {}
         reps: dict[int, list[float]] = {n_lo: [], n_hi: []}
-        for _ in range(PRIMARY_REPS):
-            for c in (n_lo, n_hi):
+        for i in range(PRIMARY_REPS):
+            # alternate leg order so slow host drift hits both legs equally
+            order = (n_lo, n_hi) if i % 2 == 0 else (n_hi, n_lo)
+            for c in order:
                 r = run_leg(c, nb, feed, work)
                 reps[c].append(r["wall_sec"])
                 if c not in best or r["events_per_sec"] > best[c]["events_per_sec"]:
