@@ -2,3 +2,7 @@ from go_bqloader_spark.streaming.pipeline import (  # noqa: F401
     run_cdc_stream,
     start_cdc_stream,
 )
+from go_bqloader_spark.streaming.sessions import (  # noqa: F401
+    session_window_metrics,
+    stateful_host_progress,
+)

@@ -202,3 +202,57 @@ def test_windowed_ingest_metrics_stream(spark, tmp_path, binlog):
     # late events (datagen emits up to 1h-late commit_ts) fall outside the
     # 1-minute watermark across micro-batches → strictly fewer counted
     assert sum(r[3] for r in multi) < sum(r[3] for r in want)
+
+
+def test_session_window_metrics_stream_matches_batch(spark, tmp_path, binlog):
+    """Built-in session windows: streamed append-mode emission equals the
+    batch session_window aggregation for every session the final watermark
+    passed (bounded-state contract, same expression both modes)."""
+    import datetime
+
+    from go_bqloader_spark.streaming.sessions import session_window_metrics
+
+    d, changes = binlog
+    want = sorted(map(tuple, session_window_metrics(
+        changes, gap="30 minutes").collect()))
+    stream = (spark.readStream.schema(changes.schema)
+              .option("maxFilesPerTrigger", 12).parquet(f"{d}/seg=*"))
+    q = (session_window_metrics(stream, gap="30 minutes", watermark="20 minutes")
+         .writeStream.format("memory").queryName("sess_all")
+         .outputMode("append").trigger(availableNow=True).start())
+    assert q.awaitTermination(300)
+    got = sorted(map(tuple, spark.table("sess_all").collect()))
+    max_ts = changes.agg(F.max("commit_ts").alias("m")).collect()[0]["m"]
+    horizon = max_ts - datetime.timedelta(minutes=20)
+    want_emittable = [w for w in want if w[1] <= horizon]
+    assert got == want_emittable and len(got) > 0
+
+
+def test_stateful_host_progress(spark, tmp_path, binlog):
+    """applyInPandasWithState custom operator: after draining the stream,
+    the per-host running state equals the batch groupBy answer."""
+    from go_bqloader_spark.streaming.sessions import stateful_host_progress
+
+    d, changes = binlog
+    want = {
+        r["host"]: (r["max_seq"], r["n_events"])
+        for r in changes.select(
+            F.regexp_extract("url", r"https?://([^/]+)/", 1).alias("host"), "seq"
+        ).groupBy("host").agg(
+            F.max("seq").alias("max_seq"), F.count(F.lit(1)).alias("n_events")
+        ).collect()
+    }
+    stream = (spark.readStream.schema(changes.schema)
+              .option("maxFilesPerTrigger", 4).parquet(f"{d}/seg=*"))
+    q = (stateful_host_progress(stream)
+         .writeStream.format("memory").queryName("host_prog")
+         .outputMode("update").trigger(availableNow=True).start())
+    assert q.awaitTermination(300)
+    # last emission per host (multi-batch stream → several updates)
+    rows = spark.sql(
+        "SELECT host, max_seq, n_events FROM ("
+        "  SELECT *, row_number() OVER (PARTITION BY host ORDER BY n_batches DESC) rn"
+        "  FROM host_prog) WHERE rn = 1"
+    ).collect()
+    got = {r["host"]: (r["max_seq"], r["n_events"]) for r in rows}
+    assert got == want and len(got) > 1
