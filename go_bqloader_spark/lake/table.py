@@ -108,6 +108,10 @@ class LakeTable:
 
     # auto-compact a query's ledger once it holds this many batch entries
     LEDGER_HORIZON = 256
+    # per-bucket merge stats ride the write job (Observation, 3 conditional
+    # aggregates per bucket) up to this bucket count; beyond it, a narrow
+    # read-back of the written files is cheaper than a 3N-expression plan
+    _OBS_MAX_BUCKETS = 256
 
     def __init__(self, spark: SparkSession, path: str, fs=None):
         self.spark = spark
@@ -532,13 +536,32 @@ class LakeTable:
         """Write ``out_rows`` (cols: data..., _seq, _deleted, b), derive
         lineage stats, and commit the manifest atomically.
 
-        For the mor fast path stats are derived AFTER the write by scanning
-        only the narrow (_seq, _deleted) columns of the freshly written
-        parquet (column pruning makes this a metadata-cheap second pass —
-        no persist/cache of the wide winner rows is ever needed)."""
+        For the mor fast path, per-bucket stats ride the WRITE job itself
+        via an ``Observation`` (conditional aggregates per bucket) — one
+        Spark job per merge, no second pass and no persist/cache of the
+        wide winner rows. Tables with more than ``_OBS_MAX_BUCKETS``
+        buckets fall back to a narrow column-pruned read-back of the
+        freshly written files."""
         commit_id = uuid.uuid4().hex[:12]
         rel = os.path.join("data", f"c{m['version'] + 1:08d}_{commit_id}")
         out_dir = os.path.join(self.path, rel)
+
+        obs = None
+        if stats_rows is None and m["n_buckets"] <= self._OBS_MAX_BUCKETS:
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            aggs = []
+            for b in range(m["n_buckets"]):
+                cond = F.col("b") == b
+                aggs.append(F.max(F.when(cond, F.col(SEQ_COL))).alias(f"mx{b}"))
+                aggs.append(F.sum(F.when(cond, 1).otherwise(0)).alias(f"n{b}"))
+                aggs.append(
+                    F.sum(
+                        F.when(cond, F.col(DELETED_COL).cast("long")).otherwise(0)
+                    ).alias(f"dl{b}")
+                )
+            out_rows = out_rows.observe(obs, *aggs)
         out_rows.write.partitionBy("b").mode("overwrite").parquet(out_dir)
 
         written = {
@@ -547,22 +570,30 @@ class LakeTable:
         if stats_rows is None:
             if not written:  # empty mor batch: nothing written, no-op commit
                 return self._commit_noop(m, batch_key)
-            back = self.spark.read.parquet(out_dir).select("b", SEQ_COL, DELETED_COL)
-            stats_rows = [
-                (
-                    int(r["b"]),
-                    r["applied_max_seq"],
-                    r["n"] - r["rows_deleted"],
-                    r["rows_deleted"],
-                )
-                for r in back.groupBy("b")
-                .agg(
-                    F.max(SEQ_COL).alias("applied_max_seq"),
-                    F.count(F.lit(1)).alias("n"),
-                    F.sum(F.col(DELETED_COL).cast("long")).alias("rows_deleted"),
-                )
-                .collect()
-            ]
+            if obs is not None:
+                vals = obs.get
+                stats_rows = [
+                    (b, vals[f"mx{b}"], vals[f"n{b}"] - (vals[f"dl{b}"] or 0), vals[f"dl{b}"] or 0)
+                    for b in range(m["n_buckets"])
+                    if vals[f"n{b}"]
+                ]
+            else:
+                back = self.spark.read.parquet(out_dir).select("b", SEQ_COL, DELETED_COL)
+                stats_rows = [
+                    (
+                        int(r["b"]),
+                        r["applied_max_seq"],
+                        r["n"] - r["rows_deleted"],
+                        r["rows_deleted"],
+                    )
+                    for r in back.groupBy("b")
+                    .agg(
+                        F.max(SEQ_COL).alias("applied_max_seq"),
+                        F.count(F.lit(1)).alias("n"),
+                        F.sum(F.col(DELETED_COL).cast("long")).alias("rows_deleted"),
+                    )
+                    .collect()
+                ]
         if affected is None:
             affected = sorted(written)
         if not written and not affected:

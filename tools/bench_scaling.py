@@ -58,7 +58,9 @@ def _flag_val(name: str) -> str | None:
 N_EVENTS = int(_args[0]) if _args else 64_000_000
 N_BATCHES = 8
 N_BUCKETS = 64
-PRIMARY = (2, 8, 1)  # (N cores, 4N cores, n_batches → N_EVENTS/N_BATCHES each)
+_pair = _flag_val("pair")  # e.g. --pair=1,4 (N cores, 4N cores)
+_lo, _hi = (int(x) for x in _pair.split(",")) if _pair else (2, 8)
+PRIMARY = (_lo, _hi, 1)  # (N cores, 4N cores, n_batches → N_EVENTS/N_BATCHES each)
 DIAGNOSTIC = (8, 32, N_BATCHES)
 PRIMARY_REPS = int(_flag_val("reps") or 6)
 FEED = _flag_val("feed")
@@ -188,7 +190,7 @@ def main():
                 if c not in best or r["events_per_sec"] > best[c]["events_per_sec"]:
                     best[c] = r
         primary = pair_result(
-            "primary_2_to_8", best[n_lo], best[n_hi], n_hi // n_lo
+            f"primary_{n_lo}_to_{n_hi}", best[n_lo], best[n_hi], n_hi // n_lo
         )
         primary["all_rep_wall_sec"] = reps
         primary["rep_dispersion"] = {
@@ -259,8 +261,9 @@ def main():
     with open(best_path, "w") as f:
         json.dump(result, f, indent=2)
 
-    p8 = primary["legs"]["8"]
-    p2 = primary["legs"]["2"]
+    n_lo, n_hi = PRIMARY[0], PRIMARY[1]
+    p8 = primary["legs"][str(n_hi)]
+    p2 = primary["legs"][str(n_lo)]
     d8 = diagnostic["legs"]["8"] if diagnostic else {"n_events": 0, "wall_sec": 0, "events_per_sec": 0, "final_rows": 0}
     d32 = diagnostic["legs"]["32"] if diagnostic else d8
     if diagnostic is None:
@@ -275,14 +278,14 @@ extract text, token/lang/quality stats) followed by key-partitioned LWW
 MERGE (merge-on-read, single payload shuffle) into the snapshot-versioned
 lake table with the exactly-once ledger.
 
-## Primary pair — N=2 → 4N=8 cores ({p2['n_events']:,} events)
+## Primary pair — N={n_lo} → 4N={n_hi} cores ({p2['n_events']:,} events)
 
-| metric | local[2] (N) | local[8] (4N) | efficiency |
+| metric | local[{n_lo}] (N) | local[{n_hi}] (4N) | efficiency |
 |---|---|---|---|
 | apply wall-clock (s) | {p2['wall_sec']} | {p8['wall_sec']} | — |
 | CDC apply throughput (events/sec) | {p2['events_per_sec']:,} | {p8['events_per_sec']:,} | **{primary['scaling_efficiency']}** (speedup {primary['speedup']}× / 4; bar ≥ 0.8 → {"PASS" if result['pass'] else "FAIL"}) |
 | final table rows | {p2['final_rows']:,} | {p8['final_rows']:,} | equal ⇒ same converged state |
-| executor CPU sec / 1k events (noise-robust) | {primary.get('cpu_sec_per_1k_events', {}).get('2', 'n/a')} | {primary.get('cpu_sec_per_1k_events', {}).get('8', 'n/a')} | parallel CPU overhead ×{primary.get('parallel_cpu_overhead', 'n/a')} (1.0 = none) |
+| executor CPU sec / 1k events (noise-robust) | {primary.get('cpu_sec_per_1k_events', {}).get(str(n_lo), 'n/a')} | {primary.get('cpu_sec_per_1k_events', {}).get(str(n_hi), 'n/a')} | parallel CPU overhead ×{primary.get('parallel_cpu_overhead', 'n/a')} (1.0 = none) |
 
 Wall-clock reps per leg (interleaved best-of-{PRIMARY_REPS}; this VM's
 performance wanders ±15-40% across minutes — dispersion max/min per leg:
