@@ -707,7 +707,18 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     is computed over the capped shingle universe on BOTH sides, emitted as
     ``jaccard_e4`` (floor(j * 10^4), pure integer division)."""
     d = load(spark, sf_dir, "documents")
-    sh = d.select("doc_id", F.explode(F.array_distinct(F.expr(_SHINGLES3))).alias("sh"))
+    # tokenize once into a projected column; building shingles from the
+    # raw text re-derives filter(split(...)) three times per row
+    tk = d.select(
+        "doc_id", F.expr("filter(split(text, ' '), x -> x <> '')").alias("tk")
+    )
+    shingles3 = (
+        "CASE WHEN size(tk) >= 3 "
+        "THEN transform(sequence(1, size(tk) - 2), "
+        "i -> array_join(slice(tk, i, 3), ' ')) "
+        "ELSE CAST(array() AS array<string>) END"
+    )
+    sh = tk.select("doc_id", F.explode(F.array_distinct(F.expr(shingles3))).alias("sh"))
     rare = (
         sh.groupBy("sh")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -776,13 +787,14 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i, s in enumerate(_MINHASH_SEEDS)
         ]
     )
+    # one posexplode instead of a self-union: the signature aggregate runs
+    # ONCE (a union of two selects over an aggregate re-executes it)
     bands = sig.select(
-        "doc_id", F.md5(F.concat("h1", "h2")).alias("band"), F.lit(1).alias("bi")
-    ).unionByName(
-        sig.select(
-            "doc_id", F.md5(F.concat("h3", "h4")).alias("band"), F.lit(2).alias("bi")
-        )
-    )
+        "doc_id",
+        F.posexplode(
+            F.array(F.md5(F.concat("h1", "h2")), F.md5(F.concat("h3", "h4")))
+        ).alias("bi0", "band"),
+    ).select("doc_id", "band", (F.col("bi0") + 1).alias("bi"))
     return (
         bands.alias("a")
         .join(bands.alias("b"), ["band", "bi"])
