@@ -50,9 +50,20 @@ class LocalFS:
     def create_exclusive(self, path: str, data: str) -> None:
         """Create ``path`` iff absent — the optimistic-concurrency CAS
         point. Raises ``FileExistsError`` when another writer won.
-        S3: conditional PUT If-None-Match:*; GCS: ifGenerationMatch=0."""
-        with open(path, "x") as f:
+        S3: conditional PUT If-None-Match:*; GCS: ifGenerationMatch=0.
+
+        Content lands fully-written-or-not-at-all: the data is staged to a
+        tmp file and linked into place (``os.link`` fails atomically with
+        EEXIST), so a writer that dies mid-call can never leave a partial
+        manifest at the CAS path — matching object stores, where a
+        conditional PUT is all-or-nothing."""
+        tmp = f"{path}.cas.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
             f.write(data)
+        try:
+            os.link(tmp, path)
+        finally:
+            os.remove(tmp)
         # the content is small metadata; fsync-level durability is the
         # caller's policy (object-store PUTs are durable on 200)
 

@@ -108,10 +108,20 @@ class LakeTable:
 
     # auto-compact a query's ledger once it holds this many batch entries
     LEDGER_HORIZON = 256
-    # per-bucket merge stats ride the write job (Observation, 3 conditional
-    # aggregates per bucket) up to this bucket count; beyond it, a narrow
-    # read-back of the written files is cheaper than a 3N-expression plan
-    _OBS_MAX_BUCKETS = 256
+    # Per-bucket merge stats: 0 (default) = derive them AFTER the write by
+    # scanning only the narrow (b, _seq, _deleted) columns of the freshly
+    # written parquet — a column-pruned second job that never touches the
+    # wide payload. Raising this enables the alternative path where stats
+    # ride the write job via an Observation (3 conditional aggregates per
+    # bucket) for tables up to that many buckets. MEASURED (round 3,
+    # interleaved A/B at the bench workload, 2M events / 8 batches /
+    # local[32]): Observation 18.6 s median vs read-back 9.4 s at 64
+    # buckets, and still no win at 16 (the 3N-expression eval per output
+    # row dwarfs the narrow second scan) — hence 0. Observation stats also
+    # ride Spark accumulators, which can double-count under task retries /
+    # speculative execution; the read-back counts are exact, so keep the
+    # default wherever lineage metrics must be trustworthy.
+    _OBS_MAX_BUCKETS = int(os.environ.get("GBS_OBS_MAX_BUCKETS", "0"))
 
     def __init__(self, spark: SparkSession, path: str, fs=None):
         self.spark = spark
@@ -210,7 +220,18 @@ class LakeTable:
     def _write_manifest(self, manifest: dict[str, Any], expected_parent: int | None) -> None:
         """Commit a manifest: CAS-create the immutable version file (two
         racing writers cannot both create vN+1 — ``create_exclusive`` is
-        the linearization point), then atomically publish LATEST."""
+        the linearization point), then atomically publish LATEST.
+
+        A crash BETWEEN the CAS create and the LATEST publish would
+        otherwise wedge the table forever (LATEST says vN, every retry
+        recomputes vN+1 and loses the CAS). On a CAS loss we therefore
+        inspect the existing file: a *valid* manifest whose parent is the
+        current LATEST is a completed-but-unpublished commit — roll LATEST
+        forward to it (finishing the interrupted writer's publish), then
+        report the conflict so the caller re-merges against the repaired
+        state. An *invalid/partial* file (a writer died mid-create on a
+        filesystem without atomic exclusive-create) is an orphan: delete it
+        and retry our own CAS once."""
         latest = os.path.join(self.path, _MANIFESTS, _LATEST)
         if expected_parent is not None:
             current = self.current_version()
@@ -220,15 +241,48 @@ class LakeTable:
                     f"found {current}"
                 )
         mpath = self._manifest_path(manifest["version"])
-        try:
-            self.fs.create_exclusive(mpath, json.dumps(manifest))
-        except FileExistsError as e:
-            raise RuntimeError(
-                f"concurrent commit detected: manifest v{manifest['version']} "
-                "already exists (another writer committed first)"
-            ) from e
+        for attempt in range(2):
+            try:
+                self.fs.create_exclusive(mpath, json.dumps(manifest))
+                break
+            except FileExistsError as e:
+                repaired = self._repair_orphan_manifest(mpath, manifest["version"])
+                if repaired == "retry" and attempt == 0:
+                    continue
+                raise RuntimeError(
+                    f"concurrent commit detected: manifest v{manifest['version']} "
+                    "already exists (another writer committed first"
+                    + ("; LATEST rolled forward to it" if repaired == "published" else "")
+                    + ")"
+                ) from e
         self.fs.write_atomic(latest, str(manifest["version"]))
         self._mcache[manifest["version"]] = manifest
+
+    def _repair_orphan_manifest(self, mpath: str, version: int) -> str:
+        """Handle an existing vN+1 file found at CAS time. Returns
+        ``"published"`` (valid unpublished commit — LATEST rolled forward),
+        ``"retry"`` (partial orphan deleted — CAS may be retried), or
+        ``"committed"`` (already published; nothing to repair)."""
+        latest = os.path.join(self.path, _MANIFESTS, _LATEST)
+        try:
+            existing = json.loads(self.fs.read_text(mpath))
+            valid = existing.get("version") == version and "parent" in existing
+        except (ValueError, OSError):
+            existing, valid = None, False
+        if not valid:
+            # partial/corrupt orphan from a writer that died mid-create
+            self.fs.delete(mpath)
+            return "retry"
+        try:
+            current = self.current_version()
+        except FileNotFoundError:
+            current = None  # table create itself was interrupted pre-publish
+        if (current is None or current < version) and existing["parent"] == current:
+            # completed commit that never published: finish its publish
+            self.fs.write_atomic(latest, str(version))
+            self._mcache[version] = existing
+            return "published"
+        return "committed"
 
     # -------------------------------------------------------------- schema
     def schema_fields(self, m: dict[str, Any] | None = None) -> list[dict[str, Any]]:
@@ -466,15 +520,24 @@ class LakeTable:
             )
             return self._finish_merge(m, out_rows, batch_key, replace=False)
 
+        # ---- cow: rewrite affected buckets (read-optimized) ------------
+        # Affected buckets + per-bucket lineage stats come from a NARROW
+        # pre-pass over (key, bucket_col, seq, op) only — the wide payload
+        # is never shuffled or persisted here (round 2 persisted the wide
+        # winner rows, pinning them in executor memory for the whole
+        # merge). The main write job unions existing rows with the RAW
+        # aligned changes: the survivor window below is itself the LWW
+        # dedup, so a separate winners pass would shuffle the payload an
+        # extra time for nothing.
+        narrow_cols = list(dict.fromkeys([*key, m["bucket_col"]]))
+        narrow = changes.select(*narrow_cols, "seq", "op")
         if salted:
-            winners = salted_lww_dedup(changes, key=key, order_col="seq", n_salts=n_salts)
+            nwin = salted_lww_dedup(narrow, key=key, order_col="seq", n_salts=n_salts)
         else:
-            winners = lww_dedup(changes, key=key, order_col="seq")
-        winners = winners.withColumn("__b", self._bucket_expr(m)).persist()
-
-        # ONE pass computes affected buckets + per-bucket lineage stats
-        stats_rows = (
-            winners.groupBy("__b")
+            nwin = lww_dedup(narrow, key=key, order_col="seq")
+        stats_collected = (
+            nwin.withColumn("__b", self._bucket_expr(m))
+            .groupBy("__b")
             .agg(
                 F.max("seq").alias("applied_max_seq"),
                 F.sum(F.when(F.col("op") != "D", 1).otherwise(0)).alias("rows_upserted"),
@@ -482,23 +545,27 @@ class LakeTable:
             )
             .collect()
         )
-        affected = sorted(int(r["__b"]) for r in stats_rows)
+        affected = sorted(int(r["__b"]) for r in stats_collected)
         if not affected:
-            winners.unpersist()
             return self._commit_noop(m, batch_key)
 
         existing = self.read(buckets=affected, include_deleted=True).withColumn(
             "__b", self._bucket_expr(m)
         )
         # existing rows join the race as op='E' (live) / 'D' (tombstone)
-        # with their stored _seq; one window decides every survivor.
+        # with their stored _seq; one window decides every survivor. On a
+        # (key, seq) tie 'D' sorts first (op asc), so a redelivered delete
+        # still beats the row it already tombstoned.
         ex = existing.select(
             F.when(F.col(DELETED_COL), F.lit("D")).otherwise(F.lit("E")).alias("op"),
             F.col(SEQ_COL).alias("seq"),
             *data_cols,
             "__b",
         )
-        all_rows = ex.unionByName(winners.select("op", "seq", *data_cols, "__b"))
+        ch = changes.withColumn("__b", self._bucket_expr(m)).select(
+            "op", "seq", *data_cols, "__b"
+        )
+        all_rows = ex.unionByName(ch)
         w = W.partitionBy(*key).orderBy(F.col("seq").desc(), F.col("op").asc())
         out_rows = (
             all_rows.withColumn("__rn", F.row_number().over(w))
@@ -510,7 +577,7 @@ class LakeTable:
                 F.col("__b").alias("b"),
             )
         )
-        stats = self._finish_merge(
+        return self._finish_merge(
             m,
             out_rows.repartition(max(len(affected), 1), F.col("b")),
             batch_key,
@@ -518,11 +585,9 @@ class LakeTable:
             affected=affected,
             stats_rows=[
                 (int(r["__b"]), r["applied_max_seq"], r["rows_upserted"], r["rows_deleted"])
-                for r in stats_rows
+                for r in stats_collected
             ],
         )
-        winners.unpersist()
-        return stats
 
     def _finish_merge(
         self,
@@ -785,8 +850,21 @@ class LakeTable:
             self._mcache.pop(m["version"], None)
 
         removed = 0
+        current = retained[0]["version"]
         data_root = os.path.join(self.path, "data")
         for commit_dir in self.fs.listdir(data_root):
+            # Commit dirs encode the version they were written FOR
+            # (c%08d_...). A dir above the newest retained version belongs
+            # to an in-flight concurrent merge that has written parquet but
+            # not yet CAS-committed its manifest — GC'ing it would make
+            # that writer commit a manifest pointing at deleted paths.
+            # Unreferenced dirs AT/BELOW current are losers of past CAS
+            # races (their writer already re-merged) and are safe to drop.
+            try:
+                if int(commit_dir[1:9]) > current:
+                    continue
+            except ValueError:
+                pass
             cdir = os.path.join(data_root, commit_dir)
             for bdir in self.fs.listdir(cdir):
                 if not bdir.startswith("b="):

@@ -99,7 +99,10 @@ def stateful_host_progress(
     host = (
         host_col
         if host_col is not None
-        else F.regexp_extract(F.col("url"), r"https?://([^/]+)/", 1)
+        # no trailing slash in the pattern: bare-host URLs
+        # (https://example.com) must extract the host too, not collapse
+        # into one empty-host state group
+        else F.regexp_extract(F.col("url"), r"https?://([^/]+)", 1)
     )
     narrow = changes.select(host.alias("host"), F.col("seq"))
     return narrow.groupBy("host").applyInPandasWithState(

@@ -358,3 +358,84 @@ def test_rename_guards_and_structural_update(spark, tmp_path):
         t.rename_column("_seq", "seq2")
     with pytest.raises(ValueError):
         t.add_column("_hidden", "string")
+
+
+def test_interrupted_commit_rolls_latest_forward(spark, tmp_path):
+    """Crash between the CAS manifest create and the LATEST publish must
+    not wedge the table (ADVICE r2 medium): the next committer detects the
+    completed-but-unpublished manifest, rolls LATEST forward to it, and
+    reports a recoverable conflict — after which a retry succeeds."""
+    import json
+
+    t = _make_table(spark, tmp_path, n_buckets=4)
+    t.merge(_tiny_batch(spark, 0), batch_key=("q", 0))
+    v = t.current_version()
+
+    # simulate the crash: write a VALID v+1 manifest but never touch LATEST
+    orphan = dict(t.manifest(), version=v + 1, parent=v,
+                  summary={"operation": "interrupted"}, metrics=[])
+    t.fs.create_exclusive(t._manifest_path(v + 1), json.dumps(orphan))
+    assert t.current_version() == v  # LATEST still points at v
+
+    # fresh handle (no warm cache) — a later merge hits the orphan,
+    # repairs LATEST, and surfaces a retryable conflict
+    t2 = LakeTable(spark, str(tmp_path / "tbl"))
+    with pytest.raises(RuntimeError, match="rolled forward"):
+        t2._write_manifest(
+            dict(orphan, summary={"operation": "mine"}), expected_parent=v
+        )
+    assert t2.current_version() == v + 1  # repaired, not wedged
+    # and the normal retry path (recompute against new parent) commits
+    t2.merge(_tiny_batch(spark, 1), batch_key=("q", 1))
+    assert t2.committed("q", 1)
+
+
+def test_partial_orphan_manifest_deleted_and_retried(spark, tmp_path):
+    """A partial/corrupt vN+1 file (writer died mid-create on a filesystem
+    without atomic exclusive-create) is deleted and the CAS retried — the
+    committer wins instead of raising forever (ADVICE r2 medium)."""
+    t = _make_table(spark, tmp_path, n_buckets=4)
+    v = t.current_version()
+    with open(t._manifest_path(v + 1), "w") as f:
+        f.write('{"version": ')  # truncated JSON
+    t.merge(_tiny_batch(spark, 0), batch_key=("q", 0))  # must not raise
+    assert t.current_version() == v + 1 and t.committed("q", 0)
+
+
+def test_create_exclusive_never_partial(tmp_path):
+    """The CAS file appears fully written or not at all, and loses cleanly
+    to an existing file without clobbering it."""
+    from go_bqloader_spark.lake.fsio import LocalFS
+
+    fs = LocalFS()
+    p = str(tmp_path / "cas.json")
+    fs.create_exclusive(p, "first")
+    with pytest.raises(FileExistsError):
+        fs.create_exclusive(p, "second")
+    assert fs.read_text(p) == "first"
+    # no stray tmp staging files left behind
+    assert [f for f in fs.listdir(str(tmp_path)) if ".cas." in f] == []
+
+
+def test_expire_snapshots_spares_inflight_commit_dirs(spark, tmp_path):
+    """GC must not delete data dirs of a concurrent merge that has written
+    parquet but not yet CAS-committed its manifest (ADVICE r2 medium):
+    dirs versioned ABOVE the newest retained snapshot are spared."""
+    import os
+
+    t = _make_table(spark, tmp_path, n_buckets=4)
+    for i in range(4):
+        t.merge(_tiny_batch(spark, i), batch_key=("q", i))
+    t.compact()
+    cur = t.current_version()
+
+    # simulate an in-flight writer: data written for version cur+1, no
+    # manifest committed yet
+    inflight = str(tmp_path / "tbl" / "data" / f"c{cur + 1:08d}_deadbeef0000")
+    os.makedirs(os.path.join(inflight, "b=0"))
+    with open(os.path.join(inflight, "b=0", "part-0.parquet"), "w") as f:
+        f.write("x")
+
+    out = t.expire_snapshots(keep_n=1)
+    assert out["data_dirs_removed"] >= 1  # old unreferenced dirs did go
+    assert os.path.exists(os.path.join(inflight, "b=0"))  # in-flight spared

@@ -237,7 +237,7 @@ def test_stateful_host_progress(spark, tmp_path, binlog):
     want = {
         r["host"]: (r["max_seq"], r["n_events"])
         for r in changes.select(
-            F.regexp_extract("url", r"https?://([^/]+)/", 1).alias("host"), "seq"
+            F.regexp_extract("url", r"https?://([^/]+)", 1).alias("host"), "seq"
         ).groupBy("host").agg(
             F.max("seq").alias("max_seq"), F.count(F.lit(1)).alias("n_events")
         ).collect()
@@ -256,3 +256,26 @@ def test_stateful_host_progress(spark, tmp_path, binlog):
     ).collect()
     got = {r["host"]: (r["max_seq"], r["n_events"]) for r in rows}
     assert got == want and len(got) > 1
+
+
+def test_host_extract_handles_bare_host_urls(spark, tmp_path):
+    """ADVICE r2: https://example.com (no path) must extract the host, not
+    collapse into an empty-host state group."""
+    from go_bqloader_spark.streaming.sessions import stateful_host_progress
+
+    d = str(tmp_path / "bare")
+    spark.createDataFrame(
+        [("https://example.com", 1), ("https://example.com/p", 2),
+         ("http://other.net", 3)],
+        "url string, seq bigint",
+    ).coalesce(1).write.parquet(d)
+    stream = spark.readStream.schema("url string, seq bigint").parquet(d)
+    q = (stateful_host_progress(stream)
+         .writeStream.format("memory").queryName("bare_host")
+         .outputMode("update").trigger(availableNow=True).start())
+    assert q.awaitTermination(120)
+    got = {
+        r["host"]: (r["max_seq"], r["n_events"])
+        for r in spark.table("bare_host").collect()
+    }
+    assert got == {"example.com": (2, 2), "other.net": (3, 1)}
