@@ -39,6 +39,7 @@ from go_bqloader_spark.functions.transforms import (
     payment_month_from_path,
 )
 from go_bqloader_spark.sources.csvlike import read_csv_files
+from go_bqloader_spark.sources.xlsbiff import read_xls_files
 
 
 @dataclass
@@ -315,6 +316,47 @@ def rakuten_card_statement(name: str, pattern: str, sink=None) -> Handler:
                 payment_month_from_path(F.col("path"), r"enavi(\d{6})\(", "yyyyMM"),
             )
             .drop("path", "line_no")
+        )
+
+    return Handler(name, pattern, reader, projector, sink)
+
+
+def amex_statement(name: str, pattern: str, sink=None) -> Handler:
+    """Mirror of ``contrib/handlers/amex.go:22-135`` (P4 XLS parser): open
+    the BIFF8 workbook, first sheet, keep only rows whose first cell
+    matches ``^\\d\\d\\d\\d/\\d\\d/\\d\\d$`` (amex.go:36,55-57), then the Go
+    projector (amex.go:91-120): drop empty dates, ISO-normalize cols 0-1,
+    CleanNumber col 4, append ``payment_month`` parsed from the object
+    name ``/(\\d{4}-\\d{2})\\.xls$`` (amex.go:73-88). Parsing runs on a
+    pure-Python [MS-XLS] reader inside ``mapInPandas`` — one executor task
+    per workbook file (``sources/xlsbiff.py``)."""
+    cols = [
+        "date", "proc_date", "description", "member",
+        "amount", "fx_currency_amount", "exchange_rate", "extra",
+    ]
+
+    def reader(spark: SparkSession, path: str) -> DataFrame:
+        return read_xls_files(
+            spark, path, cols,
+            first_col_pattern=r"^\d\d\d\d/\d\d/\d\d$", keep_path=True,
+        )
+
+    def projector(df: DataFrame) -> DataFrame:
+        return (
+            df.filter(F.col("date") != "")
+            .select(
+                normalize_date("date").alias("date"),
+                normalize_date("proc_date").alias("proc_date"),
+                F.col("description"),
+                F.col("member"),
+                clean_number("amount").alias("amount"),
+                F.col("fx_currency_amount"),
+                F.col("exchange_rate"),
+                F.col("extra"),
+                payment_month_from_path(
+                    F.col("path"), r"/(\d{4}-\d{2})\.xls$", "yyyy-MM"
+                ).alias("payment_month"),
+            )
         )
 
     return Handler(name, pattern, reader, projector, sink)

@@ -495,6 +495,130 @@ CSV_PIPELINE_SQL = """
 """
 
 
+def q_handler_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1/O10 oracle-checkable: ONE storage event dispatched through a
+    2-worker ``Registry`` to TWO registered handlers over the same fixture
+    files (/root/reference/bqloader.go:105-137 fan-out); the union of both
+    handlers' outputs is compared to the union of two per-handler SQL
+    recomputations. The error-isolation half of the contract stays
+    pytest-verified (test_registry_fanout_and_error_semantics)."""
+    from go_bqloader_spark.plans.handlers import Handler, Registry
+    from go_bqloader_spark.sources.csvlike import read_csv_files
+
+    base = _fixture_csv_dir(spark, sf_dir)
+
+    def reader(spark: SparkSession, path: str) -> DataFrame:
+        return read_csv_files(
+            spark, path, "tag string, grp string, amt string",
+            encoding="shift_jis", skip_head_rows=2, skip_tail_rows=1,
+            line_filter=F.col("line").startswith("D"),
+        )
+
+    doc_id = F.expr("CAST(substring(tag, 2) AS BIGINT)").alias("doc_id")
+
+    def proj_clean(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.lit("clean").alias("handler"), doc_id, F.col("grp"),
+            clean_number("amt").alias("out"),
+        )
+
+    def proj_raw(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.lit("raw").alias("handler"), doc_id, F.col("grp"),
+            F.col("amt").alias("out"),
+        )
+
+    captured: dict[str, DataFrame] = {}
+    reg = Registry(concurrency=2)
+    reg.add(Handler("clean", r"part.*\.csv$", reader, proj_clean,
+                    sink=lambda df: (captured.__setitem__("clean", df), 0)[1]))
+    reg.add(Handler("raw", r"part.*\.csv$", reader, proj_raw,
+                    sink=lambda df: (captured.__setitem__("raw", df), 0)[1]))
+    reg.dispatch(spark, f"{base}/part*.csv")
+    return captured["clean"].unionByName(captured["raw"])
+
+
+HANDLER_FANOUT_SQL = """
+    WITH r AS (
+        SELECT doc_id, CAST(doc_id % 7 AS VARCHAR) AS grp,
+               (doc_id * 3) % 1000 AS a
+        FROM documents
+    )
+    SELECT 'clean' AS handler, doc_id, grp, CAST(a AS VARCHAR) AS out FROM r
+    UNION ALL
+    SELECT 'raw' AS handler, doc_id, grp,
+           '￥' || CAST(a AS VARCHAR) || '円' AS out
+    FROM r
+"""
+
+
+def _fixture_lazy_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Deterministic lazy-quote CSV fixture (P3): quoted fields with
+    escaped inner quotes, UNQUOTED fields containing bare quotes (the Go
+    ``LazyQuotes=true`` shape, rakuten_card.go:55-65), and plain rows —
+    all derivable from the documents row count so DuckDB can recompute
+    every parsed field."""
+    import os
+    import re
+    import tempfile
+
+    n = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    base = os.path.join(
+        tempfile.gettempdir(), "gbs_lazyfix_" + re.sub(r"\W+", "_", sf_dir)
+    )
+    marker = os.path.join(base, f".n{n}")
+    if os.path.exists(marker):
+        return base
+    os.makedirs(base, exist_ok=True)
+    lines = ['"店名","グループ","番号"']
+    for did in range(n):
+        if did % 3 == 0:
+            lines.append(f'"s{did} ""x""",g{did % 7},{did}')
+        elif did % 3 == 1:
+            lines.append(f's{did} "y" end,g{did % 7},{did}')
+        else:
+            lines.append(f"s{did},g{did % 7},{did}")
+    with open(os.path.join(base, "lazy.csv"), "wb") as f:
+        f.write("\n".join(lines).encode("utf-8"))
+    with open(marker, "w") as f:
+        f.write(str(n))
+    return base
+
+
+def q_lazy_quotes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 lazy-quote CSV parse vs oracle: Go ``LazyQuotes`` semantics via
+    uniVocity ``unescapedQuoteHandling=STOP_AT_DELIMITER``
+    (rakuten_card.go:55-65). Escaped quotes in quoted fields unescape;
+    bare quotes in unquoted fields survive verbatim."""
+    from go_bqloader_spark.sources.csvlike import read_csv_files
+
+    base = _fixture_lazy_dir(spark, sf_dir)
+    df = read_csv_files(
+        spark, f"{base}/lazy.csv", "store string, grp string, id string",
+        skip_head_rows=1,
+        # escape='"' = Go csv's doubled-quote escaping (Spark's default
+        # escape is backslash, which Go csv does not have)
+        csv_options={
+            "unescapedQuoteHandling": "STOP_AT_DELIMITER",
+            "escape": '"',
+        },
+    )
+    return df.select(
+        F.col("id").cast("bigint").alias("doc_id"), "store", "grp"
+    )
+
+
+LAZY_QUOTES_SQL = """
+    SELECT doc_id,
+           CASE doc_id % 3
+               WHEN 0 THEN 's' || doc_id || ' "x"'
+               WHEN 1 THEN 's' || doc_id || ' "y" end'
+               ELSE 's' || CAST(doc_id AS VARCHAR) END AS store,
+           'g' || CAST(doc_id % 7 AS VARCHAR) AS grp
+    FROM documents
+"""
+
+
 def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH approximate top-k (the ANN scale path): deterministic
     seeded bucketing, exact ranking within the query's bucket. No SQL
@@ -1158,6 +1282,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kanji_dates": q_kanji_dates,
     "column_shift_project": q_column_shift_project,
     "csv_file_pipeline": q_csv_file_pipeline,
+    "handler_fanout": q_handler_fanout,
+    "lazy_quotes": q_lazy_quotes,
     "lsh_topk": q_lsh_topk,
     "exact_dedup": q_exact_dedup,
     "doc_fingerprint": q_doc_fingerprint,
@@ -1191,6 +1317,8 @@ ORACLE_SQL: dict[str, str] = {
     "kanji_dates": KANJI_SQL,
     "column_shift_project": COLUMN_SHIFT_SQL,
     "csv_file_pipeline": CSV_PIPELINE_SQL,
+    "handler_fanout": HANDLER_FANOUT_SQL,
+    "lazy_quotes": LAZY_QUOTES_SQL,
     # lsh_topk intentionally has NO oracle entry (xxhash64 bucketing is not
     # DuckDB-expressible) — the driver records a rows-only check for it.
     "exact_dedup": EXACT_DEDUP_SQL,

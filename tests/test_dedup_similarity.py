@@ -157,3 +157,29 @@ def test_ngram_df_cap_bounds_candidate_pairs(spark):
     found = {(r["d1"], r["d2"])
              for r in ngram_jaccard_pairs(dup_df, threshold=0.8, df_cap=10).collect()}
     assert (0, 100) in found
+
+
+def test_lsh_multiprobe_recall_uplift(spark):
+    """probe_radius=1 (union of Hamming-1 buckets) must dominate
+    single-probe recall and approach the exact top-k (VERDICT r2 #6)."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") >= 8)
+    exact = {(r["query_id"], r["vec_id"])
+             for r in cosine_topk(corpus, q, k=5).collect()}
+    single = {(r["query_id"], r["vec_id"])
+              for r in lsh_topk(corpus, q, k=5, n_bits=4, dim=64).collect()}
+    multi = {(r["query_id"], r["vec_id"])
+             for r in lsh_topk(corpus, q, k=5, n_bits=4, dim=64,
+                               probe_radius=1).collect()}
+    r_single = len(exact & single) / len(exact)
+    r_multi = len(exact & multi) / len(exact)
+    # deterministic inputs (fixed parquet, seeded hyperplanes): measured
+    # 0.125 single vs 0.45 multi — assert a real uplift with margin
+    assert r_multi >= r_single + 0.15
+    assert r_multi >= 0.3
+    # multi-probe candidates are a superset of single-probe candidates,
+    # so every single-probe hit survives
+    assert exact & single <= exact & multi

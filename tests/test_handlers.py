@@ -7,6 +7,7 @@ Shift-JIS decode."""
 import pytest
 
 from go_bqloader_spark.plans.handlers import (
+    amex_statement,
     Handler,
     Registry,
     Result,
@@ -273,3 +274,171 @@ def test_notifier_message_format():
     )
     bad = Result(handler="h1", path="p.csv", error=RuntimeError("boom"))
     assert bad.message() == ":x: h1 handler failed to load p.csv: boom"
+
+
+# ------------------------------------------------------ P4: XLS (BIFF8)
+def _amex_workbook_bytes():
+    """A workbook with the reference fixture's SHAPE (preamble + summary +
+    header + 3 statement rows — amex_test.go:16-21 expected output), built
+    with our own writer rather than copying the reference binary."""
+    from go_bqloader_spark.sources.xlsbiff import write_xls
+
+    return write_xls([
+        ["", "カードご利用履歴: ", "アメリカン・エキスプレス・カード"],
+        ["", "会員番号: XXX-12345"],
+        ["ご利用金額", "", "", "", "合計"],
+        ["合計", "", "", "", "￥88,153"],
+        ["ご利用日", "データ処理日", "ご利用内容", "カード会員様名",
+         "金額", "海外通貨利用金額", "換算レート", "追加情報"],
+        ["2022/06/19", "2022/06/20", "GOOGLE *DOMAINS", "TARO AMEX", "￥1,760"],
+        ["2022/05/29", "2022/05/29", "IWANTMYNAME IWANTMYNAME", "TARO AMEX",
+         "￥129", "1.00 USD", "129"],
+        ["2022/05/29", "2022/05/29", "IWANTMYNAME IWANTMYNAME", "",
+         "-￥129", "1.00 USD", "129"],
+    ])
+
+
+def test_xls_roundtrip_and_cell_types(tmp_path):
+    """BIFF writer→reader roundtrip incl. CJK strings; numeric cell records
+    (NUMBER/RK) stringify the FormatFloat(-1) way."""
+    import struct
+
+    from go_bqloader_spark.sources.xlsbiff import read_xls_rows, write_xls
+
+    rows = [["日付", "金額", ""], ["2022/06/19", "1,760"], ["x"]]
+    assert read_xls_rows(write_xls(rows)) == rows
+
+    # splice a NUMBER and an RK record into a written sheet to cover the
+    # numeric decode paths (integral → no trailing .0; RK int + cents)
+    from go_bqloader_spark.sources.xlsbiff import _decode_rk, _fmt_num
+
+    assert _fmt_num(1760.0) == "1760"
+    assert _fmt_num(13.85) == "13.85"
+    assert _decode_rk((1760 << 2) | 0x02) == 1760.0
+    assert _decode_rk((1385 << 2) | 0x03) == 13.85
+    packed = struct.unpack("<I", struct.pack("<d", 129.5)[4:])[0] & ~0x3
+    assert _decode_rk(packed) == 129.5
+
+
+def test_amex_xls_golden(spark, tmp_path):
+    """P4 golden E2E (amex.go:22-135, amex_test.go:11-33 semantics on our
+    own fixture): date-regex row filter drops preamble/summary/header rows,
+    dates → ISO, CleanNumber keeps the leading minus, payment_month comes
+    from the '2022-07.xls' object name."""
+    from go_bqloader_spark.plans.handlers import amex_statement
+
+    d = tmp_path / "in"
+    d.mkdir()
+    (d / "2022-07.xls").write_bytes(_amex_workbook_bytes())
+
+    h = amex_statement("amex", r"/\d{4}-\d{2}\.xls$")
+    assert h.matches(str(d / "2022-07.xls"))
+    df = h.run(spark, f"{d}/2022-07.xls")
+    got = [tuple(r) for r in df.collect()]
+    assert got == [
+        ("2022-06-19", "2022-06-20", "GOOGLE *DOMAINS", "TARO AMEX",
+         "1760", "", "", "", "2022-07-01"),
+        ("2022-05-29", "2022-05-29", "IWANTMYNAME IWANTMYNAME", "TARO AMEX",
+         "129", "1.00 USD", "129", "", "2022-07-01"),
+        ("2022-05-29", "2022-05-29", "IWANTMYNAME IWANTMYNAME", "",
+         "-129", "1.00 USD", "129", "", "2022-07-01"),
+    ]
+
+
+# -------------------------------------------------- Slack push notifier
+class _FakeSlackTransport:
+    """Fake of the Slack API, mirroring the reference's fake round-tripper
+    (notifier_test.go:35-68): auth check → JSON check → channel check."""
+
+    VALID_TOKEN = "validToken"
+
+    def __init__(self):
+        self.requests = []
+
+    def __call__(self, req):
+        import io
+        import json as _json
+
+        self.requests.append(req)
+
+        class Resp(io.BytesIO):
+            status = 200
+
+        if req.headers.get("Authorization") != f"Bearer {self.VALID_TOKEN}":
+            return Resp(b'{"ok":false,"error":"not_authed"}')
+        try:
+            msg = _json.loads(req.data)
+        except ValueError:
+            return Resp(b'{"ok":false,"error":"invalid_form_data"}')
+        if not msg.get("channel"):
+            return Resp(b'{"ok":false,"error":"channel_not_found"}')
+        return Resp(b'{"ok":true}')
+
+
+def test_slack_notifier_contract():
+    """Port of notifier_test.go:70-131 (succeeded / failed-result / no
+    token / with options) + payload parity: text is Result.message(),
+    empty optionals are omitted from the JSON."""
+    import json
+
+    from go_bqloader_spark.notifier import SlackNotifier
+
+    ok_result = Result(handler="myhandler", path="testfile")
+    err_result = Result(
+        handler="myhandler", path="testfile", error=RuntimeError("some error")
+    )
+
+    fake = _FakeSlackTransport()
+    # succeeded
+    SlackNotifier("#channel", "validToken", opener=fake).notify(ok_result)
+    sent = json.loads(fake.requests[-1].data)
+    assert sent == {
+        "channel": "#channel",
+        "text": ":white_check_mark: myhandler handler successfully loaded testfile",
+    }
+    # failed RESULT still notifies fine (the :x: message)
+    SlackNotifier("#channel", "validToken", opener=fake).notify(err_result)
+    sent = json.loads(fake.requests[-1].data)
+    assert sent["text"] == ":x: myhandler handler failed to load testfile: some error"
+    # no token → API error surfaces
+    with pytest.raises(RuntimeError, match="not_authed"):
+        SlackNotifier("#channel", "", opener=fake).notify(ok_result)
+    # empty channel → channel_not_found
+    with pytest.raises(RuntimeError, match="channel_not_found"):
+        SlackNotifier("", "validToken", opener=fake).notify(ok_result)
+    # with options: optionals present in payload
+    SlackNotifier(
+        "#channel", "validToken", icon_emoji=":robot:", username="loader",
+        opener=fake,
+    ).notify(ok_result)
+    sent = json.loads(fake.requests[-1].data)
+    assert sent["icon_emoji"] == ":robot:" and sent["username"] == "loader"
+    # HTTP-level failure
+    class Boom:
+        status = 500
+
+        def read(self):
+            return b"internal"
+
+    with pytest.raises(RuntimeError, match="status code 500"):
+        SlackNotifier("#channel", "validToken", opener=lambda r: Boom()).notify(
+            ok_result
+        )
+
+
+def test_registry_pushes_to_notifier(spark, tmp_path):
+    """Registry(notify=SlackNotifier(...).notify) posts one message per
+    (event, handler) — the reference wiring (handler.go:89-95)."""
+    import json
+
+    from go_bqloader_spark.notifier import SlackNotifier
+
+    d = tmp_path / "in"
+    d.mkdir()
+    (d / "2022-07.xls").write_bytes(_amex_workbook_bytes())
+    fake = _FakeSlackTransport()
+    reg = Registry(notify=SlackNotifier("#c", "validToken", opener=fake).notify)
+    reg.add(amex_statement("amex", r"/\d{4}-\d{2}\.xls$"))
+    reg.dispatch(spark, f"{d}/2022-07.xls")
+    assert len(fake.requests) == 1
+    assert "amex handler successfully loaded" in json.loads(fake.requests[0].data)["text"]
