@@ -1,0 +1,249 @@
+"""Pure-stdlib media codecs for the multimodal pipeline.
+
+This container ships no imaging/audio libraries, but several real formats
+are decodable with nothing beyond ``struct`` + ``zlib`` (both stdlib), all
+implemented here from the public specs:
+
+- **PNG** (RFC 2083): full pixel decode — chunk walk, IDAT concat, zlib
+  inflate, per-scanline unfilter (None/Sub/Up/Average/Paeth). Bit depth 8,
+  color types 0/2/6, non-interlaced — the shapes a crawler actually emits
+  for screenshots/thumbnails. Includes a minimal encoder so tests can
+  fabricate deterministic fixtures.
+- **BMP** (BITMAPINFOHEADER): uncompressed 24/32-bit bottom-up decode.
+- **PPM** (netpbm P6): binary RGB decode.
+- **WAV** (RIFF PCM): fmt/data chunk walk → sample rate, channels,
+  duration, plus mean-absolute-amplitude over PCM16 samples.
+
+These are the REAL codec paths behind ``operators/multimodal.py`` (the
+reference engine has no media handling at all; this is part of the
+training-data-pipeline surface). Formats needing external decoders (JPEG
+DCT, video) still raise the documented ``NotImplementedError`` upstream.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def is_png(data: bytes) -> bool:
+    return data[:8] == _PNG_SIG
+
+
+def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
+    """→ (width, height, n_channels, raw pixels row-major). Supports bit
+    depth 8, color types 0 (gray), 2 (RGB), 4 (gray+alpha), 6 (RGBA),
+    non-interlaced."""
+    if not is_png(data):
+        raise ValueError("not a PNG")
+    pos, idat, meta = 8, b"", None
+    while pos + 8 <= len(data):
+        ln, typ = struct.unpack_from(">I4s", data, pos)
+        body = data[pos + 8 : pos + 8 + ln]
+        if typ == b"IHDR":
+            w, h, depth, ctype, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if depth != 8 or ctype not in _CHANNELS or interlace:
+                raise ValueError(
+                    f"unsupported PNG shape (depth={depth}, color={ctype}, "
+                    f"interlace={interlace})"
+                )
+            meta = (w, h, _CHANNELS[ctype])
+        elif typ == b"IDAT":
+            idat += body
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln  # len + type + crc
+    if meta is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, ch = meta
+    raw = zlib.decompress(idat)
+    stride = w * ch
+    if len(raw) < h * (stride + 1):
+        raise ValueError("PNG pixel data truncated")
+    out = bytearray(h * stride)
+    prev = bytearray(stride)
+    for y in range(h):
+        f = raw[y * (stride + 1)]
+        line = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
+        if f == 1:  # Sub
+            for i in range(ch, stride):
+                line[i] = (line[i] + line[i - ch]) & 0xFF
+        elif f == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif f == 3:  # Average
+            for i in range(stride):
+                a = line[i - ch] if i >= ch else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - ch] if i >= ch else 0
+                b = prev[i]
+                c = prev[i - ch] if i >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        elif f != 0:
+            raise ValueError(f"bad PNG filter {f}")
+        out[y * stride : (y + 1) * stride] = line
+        prev = line
+    return w, h, ch, bytes(out)
+
+
+def encode_png(width: int, height: int, channels: int, pixels: bytes) -> bytes:
+    """Minimal encoder (filter 0 rows, one IDAT) for test fixtures."""
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+
+    def chunk(typ: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body)) + typ + body
+            + struct.pack(">I", zlib.crc32(typ + body) & 0xFFFFFFFF)
+        )
+
+    stride = width * channels
+    raw = b"".join(
+        b"\x00" + pixels[y * stride : (y + 1) * stride] for y in range(height)
+    )
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, ctype, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def is_bmp(data: bytes) -> bool:
+    return data[:2] == b"BM"
+
+
+def decode_bmp(data: bytes) -> tuple[int, int, int, bytes]:
+    """Uncompressed 24/32-bit BITMAPINFOHEADER BMP → (w, h, ch, pixels
+    top-down row-major, BGR(A) reordered to RGB(A))."""
+    if not is_bmp(data):
+        raise ValueError("not a BMP")
+    off = struct.unpack_from("<I", data, 10)[0]
+    hdr_size = struct.unpack_from("<I", data, 14)[0]
+    w, h = struct.unpack_from("<ii", data, 18)
+    bpp = struct.unpack_from("<H", data, 28)[0]
+    comp = struct.unpack_from("<I", data, 30)[0]
+    if hdr_size < 40 or comp != 0 or bpp not in (24, 32):
+        raise ValueError(f"unsupported BMP (hdr={hdr_size}, comp={comp}, bpp={bpp})")
+    ch = bpp // 8
+    flip = h > 0
+    h = abs(h)
+    stride = (w * ch + 3) & ~3
+    out = bytearray(w * h * ch)
+    for row in range(h):
+        src_y = (h - 1 - row) if flip else row
+        line = data[off + src_y * stride : off + src_y * stride + w * ch]
+        for x in range(w):
+            px = line[x * ch : (x + 1) * ch]
+            dst = (row * w + x) * ch
+            out[dst] = px[2]      # B,G,R(,A) → R,G,B(,A)
+            out[dst + 1] = px[1]
+            out[dst + 2] = px[0]
+            if ch == 4:
+                out[dst + 3] = px[3]
+    return w, h, ch, bytes(out)
+
+
+def is_ppm(data: bytes) -> bool:
+    return data[:2] == b"P6"
+
+
+def decode_ppm(data: bytes) -> tuple[int, int, int, bytes]:
+    """Binary netpbm P6 → (w, h, 3, RGB pixels)."""
+    if not is_ppm(data):
+        raise ValueError("not a P6 PPM")
+    fields: list[int] = []
+    pos = 2
+    while len(fields) < 3:
+        while pos < len(data) and data[pos : pos + 1].isspace():
+            pos += 1
+        if data[pos : pos + 1] == b"#":  # comment to EOL
+            while pos < len(data) and data[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(data) and not data[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(data[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval != 255:
+        raise ValueError(f"unsupported PPM maxval {maxval}")
+    need = w * h * 3
+    pix = data[pos : pos + need]
+    if len(pix) < need:
+        raise ValueError("PPM pixel data truncated")
+    return w, h, 3, pix
+
+
+def is_wav(data: bytes) -> bool:
+    return data[:4] == b"RIFF" and data[8:12] == b"WAVE"
+
+
+def decode_wav_meta(data: bytes) -> dict:
+    """RIFF PCM WAV → {sample_rate, n_channels, bits, n_frames,
+    duration_ms, mean_abs (PCM16 only)}."""
+    if not is_wav(data):
+        raise ValueError("not a WAV")
+    pos = 12
+    fmt = None
+    body = None
+    while pos + 8 <= len(data):
+        cid, ln = struct.unpack_from("<4sI", data, pos)
+        if cid == b"fmt ":
+            audio_fmt, n_ch, rate = struct.unpack_from("<HHI", data, pos + 8)
+            bits = struct.unpack_from("<H", data, pos + 22)[0]
+            if audio_fmt != 1:
+                raise ValueError(f"unsupported WAV codec {audio_fmt} (PCM only)")
+            fmt = (n_ch, rate, bits)
+        elif cid == b"data":
+            body = data[pos + 8 : pos + 8 + ln]
+        pos += 8 + ln + (ln & 1)
+    if fmt is None or body is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    n_ch, rate, bits = fmt
+    frame = n_ch * (bits // 8)
+    n_frames = len(body) // frame if frame else 0
+    meta = {
+        "sample_rate": rate,
+        "n_channels": n_ch,
+        "bits": bits,
+        "n_frames": n_frames,
+        "duration_ms": int(n_frames * 1000 / rate) if rate else 0,
+    }
+    if bits == 16 and n_frames:
+        n = len(body) // 2
+        samples = struct.unpack(f"<{n}h", body[: n * 2])
+        meta["mean_abs"] = sum(abs(s) for s in samples) / n / 32768.0
+    return meta
+
+
+def channel_stats_features(w: int, h: int, ch: int, pixels: bytes) -> list[float]:
+    """8-dim REAL image feature from decoded pixels: per-channel mean and
+    spread (first 3 channels), log-area, aspect — a deterministic stand-in
+    with actual signal, unlike a payload-hash embedding."""
+    import math
+
+    n = w * h
+    feats: list[float] = []
+    for c in range(3):
+        if c < ch:
+            vals = pixels[c::ch]
+            mean = sum(vals) / n
+            var = sum((v - mean) ** 2 for v in vals) / n
+            feats += [mean / 255.0 * 2 - 1, math.sqrt(var) / 128.0 - 1]
+        else:
+            feats += [0.0, 0.0]
+    feats.append(math.tanh(math.log10(max(n, 1)) / 4))
+    feats.append(math.tanh(w / max(h, 1) - 1))
+    return feats

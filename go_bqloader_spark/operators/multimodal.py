@@ -2,12 +2,14 @@
 
 Media payloads ride the same change-event rows as html: an opaque
 ``binary`` column plus typed metadata (mime, width/height, duration). The
-Spark-side machinery here is real — schema, partition-preserving
-``mapInPandas``, Arrow batch shapes, null/delete handling — while the
-actual codec work is STUBBED (this container has no image/audio libraries):
-``decode_image_meta`` parses only deterministic fake headers, and
-``extract_features`` emits a seeded deterministic embedding. Swapping the
-stub body for PIL/libsndfile is a one-function change; nothing about the
+Spark-side machinery — schema, partition-preserving ``mapInPandas``, Arrow
+batch shapes, null/delete handling — is real, and so is the codec work for
+the formats stdlib can express: PNG (full zlib+unfilter pixel decode), BMP,
+PPM, and PCM WAV all decode via ``operators/mediacodecs.py`` with no
+external libraries; image features come from the decoded pixels. The
+deterministic FAKEIMG header remains for datagen; formats that require
+external decoders (JPEG, video) raise the documented NotImplementedError —
+swapping in PIL/libsndfile is a one-function change and nothing about the
 distributed plan moves.
 
 Design rules for 100 TB media tables:
@@ -53,15 +55,28 @@ except ImportError:  # this container ships no imaging libs — stub only
 
 
 def _decode_one(payload: bytes | None) -> tuple[str | None, int | None, int | None]:
-    """Decode one payload header. The deterministic FAKEIMG header always
-    works (tests/datagen); anything else uses PIL when available and
-    raises the documented NotImplementedError otherwise — the surrounding
-    distributed plan is identical either way."""
+    """Decode one payload. Real pure-stdlib codecs handle PNG / BMP / PPM
+    (``operators/mediacodecs.py`` — full pixel decode, not just headers);
+    the deterministic FAKEIMG header serves datagen/tests; PIL is used for
+    other formats when available; otherwise the documented
+    NotImplementedError (e.g. JPEG needs an external DCT decoder). The
+    surrounding distributed plan is identical in every case."""
+    from go_bqloader_spark.operators import mediacodecs as mc
+
     if payload is None:
         return None, None, None
     if payload.startswith(_MAGIC):
         w, h = struct.unpack("<II", payload[len(_MAGIC) : len(_MAGIC) + 8])
         return "image/fake", int(w), int(h)
+    if mc.is_png(payload):
+        w, h, _ch, _px = mc.decode_png(payload)
+        return "image/png", w, h
+    if mc.is_bmp(payload):
+        w, h, _ch, _px = mc.decode_bmp(payload)
+        return "image/bmp", w, h
+    if mc.is_ppm(payload):
+        w, h, _ch, _px = mc.decode_ppm(payload)
+        return "image/x-portable-pixmap", w, h
     if _PILImage is not None:
         import io
 
@@ -69,16 +84,30 @@ def _decode_one(payload: bytes | None) -> tuple[str | None, int | None, int | No
             fmt = (img.format or "unknown").lower()
             return f"image/{fmt}", int(img.width), int(img.height)
     raise NotImplementedError(
-        "real image decoding requires PIL (absent in this environment); "
-        "payload does not carry the deterministic FAKEIMG header"
+        "no codec for this payload (stdlib codecs cover PNG/BMP/PPM; "
+        "JPEG/video need external decoders absent in this environment)"
     )
 
 
 def _feature_one(payload: bytes | None, dim: int = 8) -> list[float] | None:
-    """STUB feature extractor: a deterministic pseudo-embedding derived
-    from the payload digest (stands in for a vision encoder)."""
+    """Feature extractor: for payloads our codecs fully decode (PNG / BMP /
+    PPM) the embedding is computed from the REAL pixels (per-channel
+    mean/spread + shape — ``channel_stats_features``); otherwise a
+    deterministic digest-based pseudo-embedding stands in for a vision
+    encoder. Both are 8-dim, deterministic, and shuffle nothing wide."""
+    from go_bqloader_spark.operators import mediacodecs as mc
+
     if payload is None:
         return None
+    try:
+        if mc.is_png(payload):
+            return mc.channel_stats_features(*mc.decode_png(payload))[:dim]
+        if mc.is_bmp(payload):
+            return mc.channel_stats_features(*mc.decode_bmp(payload))[:dim]
+        if mc.is_ppm(payload):
+            return mc.channel_stats_features(*mc.decode_ppm(payload))[:dim]
+    except ValueError:
+        pass  # unsupported shape → digest fallback below
     d = hashlib.sha256(payload).digest()
     return [((d[i] / 255.0) * 2.0 - 1.0) for i in range(dim)]
 
@@ -131,4 +160,54 @@ def decode_image_meta(df: DataFrame, dim: int = 8) -> DataFrame:
 
     return df.select("url", "warc_ts", "payload").mapInPandas(
         fn, MEDIA_META_SCHEMA
+    )
+
+
+AUDIO_META_SCHEMA = (
+    "url string, warc_ts timestamp, mime string, n_bytes int, "
+    "sample_rate int, n_channels int, duration_ms int, mean_abs double, "
+    "sha256 string"
+)
+
+
+def decode_audio_meta(df: DataFrame) -> DataFrame:
+    """Audio analog of :func:`decode_image_meta`: PCM WAV payloads decode
+    for real (RIFF chunk walk + PCM16 amplitude stats, stdlib only); other
+    containers yield NULL metadata rather than failing the batch (a 100 TB
+    crawl always carries undecodable tails — poison rows must not kill
+    tasks). Same rules: payload parsed where it was read, never shuffled;
+    output is narrow."""
+    from go_bqloader_spark.operators.mediacodecs import decode_wav_meta, is_wav
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in media_batch_iter(batches):
+            metas = []
+            for b in pdf["payload"]:
+                if b is not None and is_wav(bytes(b)):
+                    try:
+                        metas.append(decode_wav_meta(bytes(b)))
+                        continue
+                    except ValueError:
+                        pass
+                metas.append(None)
+            yield pd.DataFrame(
+                {
+                    "url": pdf["url"],
+                    "warc_ts": pdf["warc_ts"],
+                    "mime": ["audio/wav" if m else None for m in metas],
+                    "n_bytes": pdf["payload"].map(
+                        lambda b: None if b is None else len(b)
+                    ),
+                    "sample_rate": [m["sample_rate"] if m else None for m in metas],
+                    "n_channels": [m["n_channels"] if m else None for m in metas],
+                    "duration_ms": [m["duration_ms"] if m else None for m in metas],
+                    "mean_abs": [m.get("mean_abs") if m else None for m in metas],
+                    "sha256": pdf["payload"].map(
+                        lambda b: None if b is None else hashlib.sha256(b).hexdigest()
+                    ),
+                }
+            )
+
+    return df.select("url", "warc_ts", "payload").mapInPandas(
+        fn, AUDIO_META_SCHEMA
     )
