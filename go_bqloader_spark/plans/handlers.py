@@ -146,7 +146,7 @@ def sbi_sumishin_net_bank_statement(name: str, pattern: str, sink=None) -> Handl
     def reader(spark: SparkSession, path: str) -> DataFrame:
         return read_csv_files(
             spark, path, _string_schema(cols), encoding="shift_jis",
-            skip_head_rows=1,
+            skip_parsed_rows=1,
         )
 
     def projector(df: DataFrame) -> DataFrame:
@@ -168,7 +168,7 @@ def sony_bank_statement(name: str, pattern: str, sink=None) -> Handler:
     cols = ["date", "description", "withdrawal", "deposit", "balance"]
 
     def reader(spark: SparkSession, path: str) -> DataFrame:
-        return read_csv_files(spark, path, _string_schema(cols), skip_head_rows=1)
+        return read_csv_files(spark, path, _string_schema(cols), skip_parsed_rows=1)
 
     def projector(df: DataFrame) -> DataFrame:
         return df.withColumns(
@@ -189,7 +189,7 @@ def rakuten_bank_statement(name: str, pattern: str, sink=None) -> Handler:
     cols = ["date", "description", "amount", "balance"]
 
     def reader(spark: SparkSession, path: str) -> DataFrame:
-        return read_csv_files(spark, path, _string_schema(cols), skip_head_rows=1)
+        return read_csv_files(spark, path, _string_schema(cols), skip_parsed_rows=1)
 
     def projector(df: DataFrame) -> DataFrame:
         return df.withColumns(
@@ -211,7 +211,7 @@ def smbc_statement(name: str, pattern: str, sink=None) -> Handler:
     def reader(spark: SparkSession, path: str) -> DataFrame:
         return read_csv_files(
             spark, path, _string_schema(cols), encoding="shift_jis",
-            skip_head_rows=1,
+            skip_parsed_rows=1,
         )
 
     def projector(df: DataFrame) -> DataFrame:
@@ -266,7 +266,7 @@ def amex_statement_csv(name: str, pattern: str, sink=None) -> Handler:
     def reader(spark: SparkSession, path: str) -> DataFrame:
         return read_csv_files(
             spark, path, _string_schema(cols), encoding="shift_jis",
-            skip_head_rows=1, keep_path=True,
+            skip_parsed_rows=1, keep_path=True,
         )
 
     def projector(df: DataFrame) -> DataFrame:
@@ -302,7 +302,7 @@ def rakuten_card_statement(name: str, pattern: str, sink=None) -> Handler:
 
     def reader(spark: SparkSession, path: str) -> DataFrame:
         return read_csv_files(
-            spark, path, _string_schema(cols), skip_head_rows=1,
+            spark, path, _string_schema(cols), skip_parsed_rows=1,
             csv_options={"unescapedQuoteHandling": "STOP_AT_DELIMITER"},
             keep_path=True,
         )
@@ -363,15 +363,18 @@ def amex_statement(name: str, pattern: str, sink=None) -> Handler:
 
 
 def sbi_securities_global_banking_statement(name: str, pattern: str, sink=None) -> Handler:
-    """Mirror of ``contrib/handlers/sbi_securities.go:14-60``: skip a
-    6-line preamble (P1 PartialCSVParser with (6, 0, "\\n"),
-    sbi_securities.go:49), then project 6 fields in the order
-    [date, r1, r5, r2, clean(r3), clean(r4)] (T8 column reorder)."""
+    """Mirror of ``contrib/handlers/sbi_securities.go:14-57``: Shift-JIS,
+    skip a 6-line raw preamble (P1 PartialCSVParser with (6, 0, "\\n"),
+    sbi_securities.go:49) THEN one parsed header row (SkipLeadingRows=1,
+    :46 — parsed-row semantics, so blank preamble lines don't miscount),
+    then project 6 fields in the order [date, r1, r5, r2, clean(r3),
+    clean(r4)] (T8 column reorder)."""
     in_cols = ["date", "trade", "summary", "out_amt", "in_amt", "currency"]
 
     def reader(spark: SparkSession, path: str) -> DataFrame:
         return read_csv_files(
-            spark, path, _string_schema(in_cols), skip_head_rows=6
+            spark, path, _string_schema(in_cols), encoding="shift_jis",
+            skip_head_rows=6, skip_parsed_rows=1,
         )
 
     def projector(df: DataFrame) -> DataFrame:
@@ -382,6 +385,37 @@ def sbi_securities_global_banking_statement(name: str, pattern: str, sink=None) 
             F.col("summary"),
             clean_number("out_amt").alias("out_amt"),
             clean_number("in_amt").alias("in_amt"),
+        )
+
+    return Handler(name, pattern, reader, projector, sink)
+
+
+def sbi_securities_global_execution_history(name: str, pattern: str, sink=None) -> Handler:
+    """Mirror of ``contrib/handlers/sbi_securities.go:60-103``: Shift-JIS,
+    raw preamble skip (6, 0, "\\n") + 1 parsed header row, 12 columns kept
+    IN PLACE with dates ISO-normalized at 0 and 10 and CleanNumber at
+    8, 9, 11 (sbi_securities.go:62-86)."""
+    in_cols = [
+        "contract_date", "name", "ticker", "market", "product", "order_type",
+        "trade", "account", "quantity", "unit_price", "delivery_date",
+        "delivery_amount",
+    ]
+
+    def reader(spark: SparkSession, path: str) -> DataFrame:
+        return read_csv_files(
+            spark, path, _string_schema(in_cols), encoding="shift_jis",
+            skip_head_rows=6, skip_parsed_rows=1,
+        )
+
+    def projector(df: DataFrame) -> DataFrame:
+        return df.withColumns(
+            {
+                "contract_date": normalize_date("contract_date"),
+                "quantity": clean_number("quantity"),
+                "unit_price": clean_number("unit_price"),
+                "delivery_date": normalize_date("delivery_date"),
+                "delivery_amount": clean_number("delivery_amount"),
+            }
         )
 
     return Handler(name, pattern, reader, projector, sink)

@@ -80,6 +80,7 @@ def read_csv_files(
     sep: str = "\n",
     skip_head_rows: int = 0,
     skip_tail_rows: int = 0,
+    skip_parsed_rows: int = 0,
     line_filter: Column | None = None,
     csv_options: dict[str, str] | None = None,
     keep_path: bool = False,
@@ -89,6 +90,11 @@ def read_csv_files(
 
     - ``skip_head_rows``/``skip_tail_rows``: drop N raw lines at each end
       per file (``/root/reference/contrib/handlers/handlers.go:61-77``).
+    - ``skip_parsed_rows``: drop the first N PARSED rows per file — the
+      exact ``SkipLeadingRows`` semantics (``handler.go:121``: the slice
+      happens AFTER csv parsing, so blank lines between the raw head and
+      the header do not count). Differs from ``skip_head_rows`` exactly
+      when blank/filtered lines precede the header.
     - ``line_filter``: predicate over ``F.col("line")`` applied BEFORE CSV
       parsing — e.g. the SMBC-card date-prefix shape filter
       (``smbc_card.go:31-36``): ``F.substring(F.col("line"), 5, 1) == "/"``.
@@ -110,6 +116,15 @@ def read_csv_files(
     df = df.filter(F.col("line") != "")
     if line_filter is not None:
         df = df.filter(line_filter)
+    if skip_parsed_rows:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("path").orderBy("line_no")
+        df = (
+            df.withColumn("__prn", F.row_number().over(w))
+            .filter(F.col("__prn") > skip_parsed_rows)
+            .drop("__prn")
+        )
     parsed = F.from_csv(F.col("line"), schema, csv_options or {})
     out = df.select("path", "line_no", parsed.alias("row")).select(
         "path", "line_no", "row.*"

@@ -57,11 +57,27 @@ def fixtures(tmp_path):
         ",小計,,,,,\n"
         "2021/01/09,書店,2500,1,1,2500,\n".encode("shift_jis")
     )
-    # sbi_securities: 6-line preamble then data
+    # sbi_securities banking: the reference file's exact shape
+    # (sbi_securities_global_banking_statement.csv: blank/meta lines 1-6
+    # incl. EMPTY lines, header at raw line 7, '-' amount cells) — raw-skip
+    # 6 + PARSED-skip 1, SJIS
     (d / "sbi_sec.csv").write_bytes(
-        ("メタ1\nメタ2\nメタ3\nメタ4\nメタ5\n"
+        ("\n\"入出金明細\"\n\n"
+         "\"入出金区分\",\"通貨指定\",\"開始\",\"終了\"\n"
+         "\"入出金\",\"すべて\",\"2021年01月01日\",\"2021年12月31日\"\n\n"
          "入出金日,取引,摘要,出金額,入金額,通貨\n"
-         "2021/01/31,買付,米国株式,\"1,234\",,USD\n").encode("utf-8")
+         "2021/01/31,買付,米国株式,\"1,234\",-,USD\n"
+         "2021/02/01,分配金,BND,-,0.64,米ドル\n").encode("shift_jis")
+    )
+    # sbi_securities execution history: same preamble shape, 12 columns
+    (d / "sbi_exec.csv").write_bytes(
+        ("\n\"約定履歴\"\n\n"
+         "\"国内約定日\",\"期間\"\n"
+         "\"すべて\",\"2022年\"\n\n"
+         "国内約定日,銘柄,ティッカー,市場,商品,注文,取引,口座,約定数量,約定単価,国内受渡日,受渡金額\n"
+         "\"2022/12/02\",\"グローバルＸ SP 500 ETF\",\"XYLG\",\"NYSE Arca\",\"米国株式\",\"成行\",\"現買\",\"特定\",\"30\",\"26.4100\",\"2022/12/06\",\"796.22\"\n"
+         "\"2022/01/11\",\"iシェアーズ コア\",\"HDV\",\"NYSE Arca\",\"米国株式\",\"成行\",\"現売\",\"特定\",\"29\",\"102.4450\",\"2022/01/13\",\"2,956.21\"\n"
+         ).encode("shift_jis")
     )
     # amex_csv (T9 column shift): SJIS, 8 cols, month in file name
     (d / "2023-08.csv").write_bytes(
@@ -133,11 +149,38 @@ def test_smbc_card_golden(spark, fixtures):
 
 
 def test_sbi_securities_golden(spark, fixtures):
+    """Banking statement on the reference fixture's exact shape (blank
+    preamble lines + header at raw line 7): 6 raw lines skipped, then 1
+    PARSED row (SkipLeadingRows parity — a raw-7 skip would miscount the
+    blanks), '-' amounts clean to "" (handlers.go:46-48)."""
     h = sbi_securities_global_banking_statement("sec", r"sbi_sec\.csv$")
     df = h.run(spark, f"{fixtures}/sbi_sec.csv")
     assert df.columns == ["date", "trade", "currency", "summary", "out_amt", "in_amt"]
-    got = _rows(df, "date", "trade", "currency", "summary", "out_amt", "in_amt")
-    assert got == [("2021-01-31", "買付", "USD", "米国株式", "1234", "")]
+    got = sorted(_rows(df, "date", "trade", "currency", "summary", "out_amt", "in_amt"))
+    assert got == [
+        ("2021-01-31", "買付", "USD", "米国株式", "1234", ""),
+        ("2021-02-01", "分配金", "米ドル", "BND", "", "0.64"),
+    ]
+
+
+def test_sbi_securities_execution_history_golden(spark, fixtures):
+    """Execution history (sbi_securities.go:60-103, sbi_securities_test.go:
+    35-55 semantics on our own fixture): 12 columns in place, ISO dates at
+    0/10, CleanNumber at 8/9/11."""
+    from go_bqloader_spark.plans.handlers import (
+        sbi_securities_global_execution_history,
+    )
+
+    h = sbi_securities_global_execution_history("exec", r"sbi_exec\.csv$")
+    df = h.run(spark, f"{fixtures}/sbi_exec.csv")
+    got = sorted(map(tuple, df.collect()))
+    assert got == [
+        ("2022-01-11", "iシェアーズ コア", "HDV", "NYSE Arca", "米国株式",
+         "成行", "現売", "特定", "29", "102.4450", "2022-01-13", "2956.21"),
+        ("2022-12-02", "グローバルＸ SP 500 ETF", "XYLG", "NYSE Arca",
+         "米国株式", "成行", "現買", "特定", "30", "26.4100", "2022-12-06",
+         "796.22"),
+    ]
 
 
 def test_amex_csv_golden(spark, fixtures):
