@@ -33,3 +33,5 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+from go_bqloader_spark.notifier import SlackNotifier  # noqa: F401,E402  (root-level like bqloader.SlackNotifier)
