@@ -207,3 +207,78 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("d1", "d2", "jaccard")
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    vertices: DataFrame | None = None,
+    src: str = "d1",
+    dst: str = "d2",
+    id_col: str = "id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected candidate-pair graph — the
+    final step of corpus near-dedup (pairs → duplicate CLUSTERS → keep one
+    representative per cluster). Returns ``(id, cluster_id)`` where
+    ``cluster_id`` is the minimum member id (the canonical representative).
+
+    Distributed min-label propagation: every node repeatedly adopts the
+    smallest label among itself and its neighbors; converges in
+    O(component diameter) rounds. Near-dup graphs are dense clique-ish
+    clusters (diameter 2-3), so 3-4 rounds settle real corpora; the
+    driver loop checks a scalar convergence count per round (one small
+    aggregate — the canonical Spark iterative-algorithm shape, same as
+    MLlib/GraphX; the DATA never leaves executors) and localCheckpoints
+    each round to keep the plan from growing superlinearly. For
+    adversarial long-path graphs swap in the large-star/small-star
+    variant (O(log n) rounds); not needed for dedup workloads.
+    """
+    # materialize the (static) edge list once — every round joins it, and
+    # without this the upstream pair-generation pipeline (LSH, signature
+    # join, ...) would re-execute per round
+    und = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .localCheckpoint(eager=True)
+    )
+    if vertices is not None:
+        nodes = vertices.select(F.col(id_col).alias("a")).distinct()
+    else:
+        nodes = und.select("a").distinct()
+    labels = nodes.select("a", F.col("a").alias("lbl")).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        nbr_min = (
+            und.join(labels, "a")
+            .groupBy(F.col("b").alias("a"))
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "a", "left")
+            .select("a", F.least("lbl", "nlbl").alias("lbl"), F.col("lbl").alias("old"))
+        ).localCheckpoint(eager=True)
+        changed = new_labels.filter(F.col("lbl") != F.col("old")).limit(1).count()
+        labels = new_labels.select("a", "lbl")
+        if changed == 0:
+            break
+    return labels.select(F.col("a").alias(id_col), F.col("lbl").alias("cluster_id"))
+
+
+def near_dup_clusters(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 16,
+    bands: int = 4,
+    threshold: float = 0.7,
+    n_shingle: int = 1,
+    seed: int = 42,
+) -> DataFrame:
+    """End-to-end near-dedup: MinHash-LSH pairs → connected components →
+    one representative per cluster. Returns ``(doc_id, cluster_id,
+    is_rep)``; downstream keeps ``is_rep`` rows (or joins back to drop
+    duplicates). Singleton documents are their own cluster."""
+    pairs = minhash_dedup(df, id_col, text_col, k, bands, threshold, n_shingle, seed)
+    comp = connected_components(
+        pairs, vertices=df.select(id_col), src="d1", dst="d2", id_col=id_col
+    )
+    return comp.withColumn("is_rep", F.col(id_col) == F.col("cluster_id"))

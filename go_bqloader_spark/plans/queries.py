@@ -951,6 +951,53 @@ MINHASH_SQL = f"""
 """
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dedup END state: MinHash-LSH candidate pairs (exactly the
+    oracle-matched ``minhash_lsh`` edge set) → connected components →
+    ``(doc_id, cluster_id, is_rep)`` with cluster_id = min member id.
+    Spark runs distributed min-label propagation (O(diameter) rounds,
+    ``operators/dedup.py::connected_components``); the oracle computes the
+    same fixpoint as a recursive transitive closure in DuckDB. Singletons
+    are their own cluster; downstream dedup keeps ``is_rep = 1`` rows."""
+    from go_bqloader_spark.operators.dedup import connected_components
+
+    pairs = q_minhash_lsh(spark, sf_dir)
+    d = load(spark, sf_dir, "documents")
+    comp = connected_components(
+        pairs, vertices=d.select("doc_id"), src="d1", dst="d2", id_col="doc_id"
+    )
+    return comp.select(
+        "doc_id",
+        "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).cast("int").alias("is_rep"),
+    )
+
+
+DEDUP_CLUSTERS_SQL = """
+    WITH RECURSIVE pairs AS ({MINHASH}),
+    und AS (
+        SELECT d1 AS a, d2 AS b FROM pairs
+        UNION
+        SELECT d2, d1 FROM pairs
+    ),
+    r(a, b) AS (
+        SELECT a, b FROM und
+        UNION
+        SELECT r.a, u.b FROM r JOIN und u ON r.b = u.a
+    ),
+    comp AS (
+        SELECT d.doc_id,
+               LEAST(d.doc_id, COALESCE(MIN(r.b), d.doc_id)) AS cluster_id
+        FROM documents d LEFT JOIN r ON r.a = d.doc_id
+        GROUP BY d.doc_id
+    )
+    SELECT doc_id, cluster_id,
+           CAST(CASE WHEN doc_id = cluster_id THEN 1 ELSE 0 END AS INT)
+               AS is_rep
+    FROM comp
+"""  # {MINHASH} is bound right after MINHASH_SQL's definition below
+
+
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k vs a query vector (vec_id=0) — the ANN
     baseline. Dot product via zip_with/aggregate in double precision;
@@ -1266,6 +1313,8 @@ BROADCAST_SQL = """
 """
 
 
+DEDUP_CLUSTERS_SQL = DEDUP_CLUSTERS_SQL.format(MINHASH=MINHASH_SQL)
+
 # ------------------------------------------------------------------ registry
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lww_dedup": q_lww_dedup,
@@ -1292,6 +1341,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_score": q_quality_score,
     "ngram_jaccard": q_ngram_jaccard,
     "minhash_lsh": q_minhash_lsh,
+    "dedup_clusters": q_dedup_clusters,
     "ann_cosine_topk": q_ann_cosine_topk,
     "embedding_near_dup": q_embedding_near_dup,
     "bpe_token_stats": q_bpe_token_stats,
@@ -1328,6 +1378,7 @@ ORACLE_SQL: dict[str, str] = {
     "quality_score": QUALITY_SQL,
     "ngram_jaccard": NGRAM_JACCARD_SQL,
     "minhash_lsh": MINHASH_SQL,
+    "dedup_clusters": DEDUP_CLUSTERS_SQL,
     "ann_cosine_topk": ANN_SQL,
     "embedding_near_dup": EMB_NEAR_DUP_SQL,
     "bpe_token_stats": BPE_TOKEN_SQL,

@@ -183,3 +183,43 @@ def test_lsh_multiprobe_recall_uplift(spark):
     # multi-probe candidates are a superset of single-probe candidates,
     # so every single-probe hit survives
     assert exact & single <= exact & multi
+
+
+def test_connected_components_fixpoint(spark):
+    """Min-label propagation: two components (one a PATH graph, forcing
+    multiple rounds), one singleton vertex, plus an isolated self-contained
+    clique — labels converge to the minimum member id."""
+    from go_bqloader_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        # path 1-2-3-4-5 (diameter 4) and clique 10-11-12
+        [(2, 1), (2, 3), (3, 4), (5, 4), (10, 11), (11, 12), (10, 12)],
+        "d1 bigint, d2 bigint",
+    )
+    vertices = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 5, 10, 11, 12, 99]],
+                                     "doc_id bigint")
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(
+            edges, vertices=vertices, id_col="doc_id"
+        ).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 12: 10, 99: 99}
+
+
+def test_near_dup_clusters_end_to_end(spark):
+    """Duplicated docs cluster together with one representative; unique
+    docs stay singleton reps."""
+    from go_bqloader_spark.operators.dedup import near_dup_clusters
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, base), (2, base), (3, base + " extra"),
+        (4, "completely different content about spark engines and lakes"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r["doc_id"]: (r["cluster_id"], r["is_rep"])
+           for r in near_dup_clusters(df, threshold=0.5).collect()}
+    assert out[1] == (1, True) and out[2] == (1, False)
+    assert out[4] == (4, True)
+    assert len({c for c, _ in out.values()}) >= 2
