@@ -1151,6 +1151,36 @@ BPE_TOKEN_SQL = f"""
 """
 
 
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level vocabulary: top-50 whitespace tokens by total count
+    with document frequency — the corpus-wide half of token counting
+    (per-doc stats live in ``token_stats``). One explode + one hash agg
+    with map-side partials; at 100 TB this is the canonical two-phase
+    word count and the input to BPE vocab induction / DF-based stopword
+    lists. Deterministic order: (n_total desc, token asc)."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.expr(_TOKENS)).alias("token"))
+    return (
+        tok.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.countDistinct("doc_id").alias("doc_freq"),
+        )
+        .orderBy(F.col("n_total").desc(), F.col("token"))
+        .limit(50)
+    )
+
+
+VOCAB_SQL = f"""
+    SELECT tok AS token, count(*) AS n_total,
+           count(DISTINCT doc_id) AS doc_freq
+    FROM (SELECT doc_id, unnest({_TOKENS_SQL}) AS tok FROM documents)
+    GROUP BY tok
+    ORDER BY n_total DESC, token
+    LIMIT 50
+"""
+
+
 def q_windowed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling event-time windows (the streaming metrics aggregation of
     streaming/windows.py, run in batch mode for oracle checkability)."""
@@ -1345,6 +1375,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_cosine_topk": q_ann_cosine_topk,
     "embedding_near_dup": q_embedding_near_dup,
     "bpe_token_stats": q_bpe_token_stats,
+    "vocab_topk": q_vocab_topk,
     "windowed_metrics": q_windowed_metrics,
     "sessionize": q_sessionize,
     "heavy_hitters": q_heavy_hitters,
@@ -1382,6 +1413,7 @@ ORACLE_SQL: dict[str, str] = {
     "ann_cosine_topk": ANN_SQL,
     "embedding_near_dup": EMB_NEAR_DUP_SQL,
     "bpe_token_stats": BPE_TOKEN_SQL,
+    "vocab_topk": VOCAB_SQL,
     "windowed_metrics": WINDOWED_SQL,
     "sessionize": SESSIONIZE_SQL,
     "heavy_hitters": HEAVY_SQL,
