@@ -64,12 +64,31 @@ def cosine_topk(
     )
 
 
-def _hyperplane_bit(vec_col: str, plane: int, dim: int, seed: int) -> Column:
+def _hyperplane_bit(
+    vec_col: str, plane: int, dim: int, seed: int, sign: str = "xxhash64"
+) -> Column:
     """sign(<v, h_plane>) with h_plane[i] = ±1 from a seeded hash — a
-    Rademacher hyperplane; no weight matrix to broadcast."""
+    Rademacher hyperplane; no weight matrix to broadcast.
+
+    ``sign="xxhash64"`` (default) is the fast JVM path. ``sign="md5"``
+    derives the ±1 from the first hex digit of
+    ``md5('lsh:{seed}:{plane}:{i}')`` (< '8' → +1), an expression DuckDB
+    evaluates identically — the cross-engine-checkable variant (same
+    trick as the md5 MinHash oracle in ``plans/queries.py``). Both are
+    deterministic Rademacher signs; only the PRNG differs.
+    """
+    if sign == "md5":
+        pm1 = (
+            f"(CASE WHEN substring(md5(concat('lsh:', '{seed}', ':', '{plane}', ':', CAST(i AS STRING))), 1, 1) < '8' "
+            f"THEN 1.0 ELSE -1.0 END)"
+        )
+        idx = f"sequence(1, {dim})"
+    else:
+        pm1 = f"(CASE WHEN pmod(xxhash64({seed}, {plane}, i), 2) = 0 THEN 1.0 ELSE -1.0 END)"
+        idx = f"sequence(0, {dim - 1})"
     signed = F.expr(
-        f"aggregate(zip_with({vec_col}, sequence(0, {dim - 1}), "
-        f"(x, i) -> CAST(x AS DOUBLE) * (CASE WHEN pmod(xxhash64({seed}, {plane}, i), 2) = 0 THEN 1.0 ELSE -1.0 END)), "
+        f"aggregate(zip_with({vec_col}, {idx}, "
+        f"(x, i) -> CAST(x AS DOUBLE) * {pm1}), "
         f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
     )
     return (signed > 0).cast("int")
@@ -81,11 +100,12 @@ def hyperplane_lsh_buckets(
     n_bits: int = 8,
     dim: int = 64,
     seed: int = 42,
+    sign: str = "xxhash64",
 ) -> DataFrame:
     """Append a ``bucket`` column: the n_bits-bit hyperplane signature."""
     bucket = None
     for j in range(n_bits):
-        bit = _hyperplane_bit(vec_col, j, dim, seed).cast("bigint")
+        bit = _hyperplane_bit(vec_col, j, dim, seed, sign).cast("bigint")
         term = bit * F.lit(1 << j).cast("bigint")
         bucket = term if bucket is None else bucket + term
     return df.withColumn("bucket", bucket)
@@ -102,6 +122,7 @@ def lsh_topk(
     dim: int = 64,
     seed: int = 42,
     probe_radius: int = 0,
+    sign: str = "xxhash64",
 ) -> DataFrame:
     """Approximate top-k: exact ranking within the query's probed buckets.
 
@@ -116,9 +137,9 @@ def lsh_topk(
     corpus / 2^n_bits. Compare against :func:`cosine_topk` to measure the
     recall uplift on a sample.
     """
-    c = hyperplane_lsh_buckets(corpus, vec_col, n_bits, dim, seed)
+    c = hyperplane_lsh_buckets(corpus, vec_col, n_bits, dim, seed, sign)
     q = hyperplane_lsh_buckets(
-        queries.select(query_id_col, vec_col), vec_col, n_bits, dim, seed
+        queries.select(query_id_col, vec_col), vec_col, n_bits, dim, seed, sign
     ).select(
         query_id_col, F.col(vec_col).alias("__qv"), F.col("bucket")
     )

@@ -621,22 +621,84 @@ LAZY_QUOTES_SQL = """
 
 def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH approximate top-k (the ANN scale path): deterministic
-    seeded bucketing, exact ranking within the query's bucket. No SQL
-    oracle (the bucketing is xxhash64-based and not expressible in DuckDB)
-    — driver records the rows-only check; recall vs the exact baseline is
-    pytest-verified (tests/test_dedup_similarity.py)."""
+    seeded bucketing, exact ranking within the query's bucket. Uses the
+    ``sign="md5"`` hyperplane variant (±1 from the first hex digit of
+    ``md5('lsh:seed:plane:i')``) so DuckDB computes bit-identical buckets
+    — the same cross-engine trick as the md5 MinHash oracle. The fast
+    xxhash64 sign path is recall-pytest-verified separately
+    (tests/test_dedup_similarity.py)."""
     e = load(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
     corpus = e.filter(F.col("vec_id") >= 3)
-    r = lsh_topk(corpus, q, k=5, n_bits=6, dim=64, seed=42)
+    r = lsh_topk(corpus, q, k=5, n_bits=6, dim=64, seed=42, sign="md5")
     return r.select(
         "query_id",
         "vec_id",
-        F.floor(F.col("cos_sim") * 10000).alias("cos_sim_e4"),
+        # +1e-6 boundary guard — same cross-engine floor() rationale as
+        # q_ann_cosine_topk (Spark folds in array order, DuckDB SUM reorders)
+        F.floor(F.col("cos_sim") * 10000 + F.lit(1e-6)).alias("cos_sim_e4"),
         F.col("rank").cast("long").alias("rank"),
     )
+
+
+# DuckDB oracle for q_lsh_topk: identical md5-Rademacher buckets (6 bits,
+# seed 42, 1-based dim index), equal-bucket candidate join, exact cosine
+# rank within the bucket. Mirrors operators/similarity.py:_hyperplane_bit.
+LSH_TOPK_SQL = """
+    WITH ex AS (
+        SELECT vec_id, unnest(embedding) AS x,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings
+    ),
+    planes AS (SELECT unnest(range(0, 6)) AS j),
+    bits AS (
+        SELECT e.vec_id, p.j,
+               CASE WHEN sum(CAST(e.x AS DOUBLE) *
+                   (CASE WHEN substr(md5('lsh:42:' || p.j || ':' || e.i), 1, 1) < '8'
+                         THEN 1.0 ELSE -1.0 END)) > 0
+                    THEN 1 ELSE 0 END AS bit
+        FROM ex e CROSS JOIN planes p
+        GROUP BY e.vec_id, p.j
+    ),
+    buckets AS (
+        SELECT vec_id, sum(CAST(bit AS BIGINT) * CAST(2 ** j AS BIGINT)) AS bucket
+        FROM bits GROUP BY vec_id
+    ),
+    norms AS (
+        SELECT vec_id, sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS n2
+        FROM ex GROUP BY vec_id
+    ),
+    cand AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS vec_id
+        FROM buckets q JOIN buckets c ON q.bucket = c.bucket
+        WHERE q.vec_id < 3 AND c.vec_id >= 3
+    ),
+    dots AS (
+        SELECT cd.query_id, cd.vec_id,
+               sum(CAST(a.x AS DOUBLE) * CAST(b.x AS DOUBLE)) AS dot
+        FROM cand cd
+        JOIN ex a ON a.vec_id = cd.query_id
+        JOIN ex b ON b.vec_id = cd.vec_id AND b.i = a.i
+        GROUP BY cd.query_id, cd.vec_id
+    ),
+    ranked AS (
+        SELECT d.query_id, d.vec_id,
+               d.dot / (sqrt(nq.n2) * sqrt(nc.n2)) AS cos_sim,
+               row_number() OVER (
+                   PARTITION BY d.query_id
+                   ORDER BY d.dot / (sqrt(nq.n2) * sqrt(nc.n2)) DESC, d.vec_id
+               ) AS rank
+        FROM dots d
+        JOIN norms nq ON nq.vec_id = d.query_id
+        JOIN norms nc ON nc.vec_id = d.vec_id
+    )
+    SELECT query_id, vec_id,
+           CAST(floor(cos_sim * 10000 + 1e-6) AS BIGINT) AS cos_sim_e4,
+           CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 5
+"""
 
 
 # ------------------------------------------------ training-data pipeline ops
@@ -1400,8 +1462,7 @@ ORACLE_SQL: dict[str, str] = {
     "csv_file_pipeline": CSV_PIPELINE_SQL,
     "handler_fanout": HANDLER_FANOUT_SQL,
     "lazy_quotes": LAZY_QUOTES_SQL,
-    # lsh_topk intentionally has NO oracle entry (xxhash64 bucketing is not
-    # DuckDB-expressible) — the driver records a rows-only check for it.
+    "lsh_topk": LSH_TOPK_SQL,
     "exact_dedup": EXACT_DEDUP_SQL,
     "doc_fingerprint": FINGERPRINT_SQL,
     "token_stats": TOKEN_STATS_SQL,
