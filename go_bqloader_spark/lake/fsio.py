@@ -15,6 +15,7 @@ are tiny and driver-side.
 
 from __future__ import annotations
 
+import fcntl
 import os
 import shutil
 import uuid
@@ -66,6 +67,37 @@ class LocalFS:
             os.remove(tmp)
         # the content is small metadata; fsync-level durability is the
         # caller's policy (object-store PUTs are durable on 200)
+
+    def publish_if_newer(self, path: str, version: int) -> bool:
+        """Monotonic pointer publish: set ``path`` to ``version`` iff it
+        currently holds a LOWER version (or doesn't exist). Returns whether
+        the pointer moved.
+
+        This closes the publish TOCTOU on the LATEST pointer: with a plain
+        ``write_atomic``, a writer that read the current version, stalled,
+        and then published could roll LATEST *backward* past commits that
+        landed in between (e.g. writer A wins the CAS on vN+1 and stalls
+        pre-publish; B's repair rolls LATEST to vN+1 and commits vN+2;
+        A wakes and publishes vN+1 — readers regress to a stale snapshot).
+        The read-compare-replace runs under an advisory lock on a sibling
+        ``.lock`` file so it is atomic on this host; an object-store
+        implementation gets the same guarantee from a generation-/ETag-
+        conditional PUT loop (S3 If-Match, GCS ifGenerationMatch)."""
+        lock = f"{path}.lock"
+        fd = os.open(lock, os.O_CREAT | os.O_RDWR, 0o644)
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX)
+            try:
+                current = int(self.read_text(path).strip())
+            except (FileNotFoundError, ValueError):
+                current = -1
+            if version <= current:
+                return False
+            self.write_atomic(path, str(version))
+            return True
+        finally:
+            fcntl.flock(fd, fcntl.LOCK_UN)
+            os.close(fd)
 
     def delete(self, path: str) -> None:
         if os.path.isdir(path):

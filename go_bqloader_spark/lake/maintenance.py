@@ -1,0 +1,88 @@
+"""Post-ingest table maintenance jobs.
+
+The CDC merge path keeps the table converged per change key; corpus-level
+hygiene (near-duplicate PAGES under different urls/timestamps) is a
+table-scan concern, so it runs as a separate maintenance pass — the same
+split the reference draws between per-event handlers and batch loads
+(``/root/reference/handler.go`` dispatch vs the load step): ingest stays
+O(batch), dedup runs on an operator's schedule.
+
+``near_dup_rewrite`` goes THROUGH ``LakeTable.merge`` rather than
+rewriting files: every removal is an ordinary tombstoned 'D' change with
+a seq above the victim row's, so the pass is exactly-once under the batch
+ledger, shows up in lineage metrics, is resumable, and time-travels like
+any other commit. At 10^10 rows the clustering is the same contract-then-
+iterate component pass as the ``dedup_clusters`` query (no bucket²
+materialization anywhere — see ``operators/dedup.py``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, functions as F
+
+from go_bqloader_spark.lake.table import DELETED_COL, SEQ_COL, LakeTable, MergeStats
+from go_bqloader_spark.operators.dedup import near_dup_clusters
+
+
+@dataclass(frozen=True)
+class DedupReport:
+    """Outcome of one near-dup maintenance pass."""
+
+    scanned: int
+    removed: int
+    merge: MergeStats
+
+    @property
+    def kept(self) -> int:
+        return self.scanned - self.removed
+
+
+def near_dup_rewrite(
+    table: LakeTable,
+    text_col: str = "text",
+    threshold: float = 0.7,
+    batch_id: int = 0,
+    query_id: str = "near_dup_rewrite",
+    **minhash_kw,
+) -> DedupReport:
+    """Near-dedup maintenance: cluster the table's live rows on
+    ``text_col`` (MinHash-LSH → connected components), keep ONE
+    representative per cluster (minimum key — deterministic), and
+    tombstone the rest via the normal exactly-once merge path.
+
+    Re-running with the same ``(query_id, batch_id)`` is a no-op (ledger
+    skip); re-running with a fresh ``batch_id`` after new ingests only
+    removes newly-introduced duplicates. Rows whose ``text_col`` is NULL
+    are never candidates.
+    """
+    m = table.manifest()
+    key = m["key"]
+    live = table.read()
+    docs = live.filter(F.col(text_col).isNotNull()).select(
+        F.concat_ws("\x00", *key).alias("__id"), F.col(text_col)
+    )
+    clusters = near_dup_clusters(
+        docs, id_col="__id", text_col=text_col, threshold=threshold, **minhash_kw
+    )
+    losers = clusters.filter(~F.col("is_rep")).select("__id")
+    data_cols = [
+        f["name"] for f in table.schema_fields(m)
+        if f["name"] not in (SEQ_COL, DELETED_COL)
+    ]
+    # every victim becomes a delete one seq above its stored row, so the
+    # LWW window is guaranteed to pick the tombstone
+    changes = (
+        live.withColumn("__id", F.concat_ws("\x00", *key))
+        .join(losers, "__id")
+        .select(
+            F.lit("D").alias("op"),
+            (F.col(SEQ_COL) + 1).alias("seq"),
+            *data_cols,
+        )
+    )
+    scanned = docs.count()
+    stats = table.merge(changes, batch_key=(query_id, batch_id))
+    removed = 0 if stats.skipped else stats.rows_deleted
+    return DedupReport(scanned=scanned, removed=removed, merge=stats)

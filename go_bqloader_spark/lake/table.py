@@ -255,7 +255,9 @@ class LakeTable:
                     + ("; LATEST rolled forward to it" if repaired == "published" else "")
                     + ")"
                 ) from e
-        self.fs.write_atomic(latest, str(manifest["version"]))
+        # monotonic publish: a stalled writer waking up after later commits
+        # landed must not roll LATEST backward (fsio.publish_if_newer docs)
+        self.fs.publish_if_newer(latest, manifest["version"])
         self._mcache[manifest["version"]] = manifest
 
     def _repair_orphan_manifest(self, mpath: str, version: int) -> str:
@@ -264,22 +266,37 @@ class LakeTable:
         ``"retry"`` (partial orphan deleted — CAS may be retried), or
         ``"committed"`` (already published; nothing to repair)."""
         latest = os.path.join(self.path, _MANIFESTS, _LATEST)
-        try:
-            existing = json.loads(self.fs.read_text(mpath))
-            valid = existing.get("version") == version and "parent" in existing
-        except (ValueError, OSError):
-            existing, valid = None, False
+        def _load():
+            try:
+                m = json.loads(self.fs.read_text(mpath))
+                return m, m.get("version") == version and "parent" in m
+            except (ValueError, OSError):
+                return None, False
+
+        existing, valid = _load()
         if not valid:
-            # partial/corrupt orphan from a writer that died mid-create
-            self.fs.delete(mpath)
-            return "retry"
+            # Re-read before deleting: on a store without atomic
+            # exclusive-create, the first read may have caught a concurrent
+            # writer's file mid-flight — deleting it would silently drop
+            # that writer's committed manifest. Only after the content is
+            # invalid on BOTH reads do we treat it as a dead writer's
+            # partial orphan. (LocalFS stages+links, so a partial here can
+            # only be genuine corruption.)
+            existing, valid = _load()
+            if not valid:
+                self.fs.delete(mpath)
+                return "retry"
         try:
             current = self.current_version()
         except FileNotFoundError:
             current = None  # table create itself was interrupted pre-publish
         if (current is None or current < version) and existing["parent"] == current:
-            # completed commit that never published: finish its publish
-            self.fs.write_atomic(latest, str(version))
+            # completed commit that never published: finish its publish.
+            # publish_if_newer re-checks under the pointer lock, so if a
+            # concurrent writer raced us past `version` between the
+            # current_version() read and here, LATEST is left alone
+            # instead of being rolled backward (ADVICE r3 TOCTOU).
+            self.fs.publish_if_newer(latest, version)
             self._mcache[version] = existing
             return "published"
         return "committed"
@@ -530,11 +547,25 @@ class LakeTable:
         # dedup, so a separate winners pass would shuffle the payload an
         # extra time for nothing.
         narrow_cols = list(dict.fromkeys([*key, m["bucket_col"]]))
-        narrow = changes.select(*narrow_cols, "seq", "op")
+        # __oppri DESC == op ASC for op in {D,E,I,U}: the narrow pre-pass
+        # breaks (key, seq) ties exactly like the payload survivor window
+        # below, so lineage stats / affected buckets always describe the
+        # rows actually written (ADVICE r3: divergent tie winners could
+        # land a row in a bucket outside `affected`)
+        oppri = (
+            F.when(F.col("op") == "D", 3)
+            .when(F.col("op") == "E", 2)
+            .when(F.col("op") == "I", 1)
+            .otherwise(0)
+        )
+        narrow = changes.select(*narrow_cols, "seq", "op").withColumn("__oppri", oppri)
         if salted:
-            nwin = salted_lww_dedup(narrow, key=key, order_col="seq", n_salts=n_salts)
+            nwin = salted_lww_dedup(
+                narrow, key=key, order_col="seq", n_salts=n_salts,
+                tie_cols=("__oppri",),
+            )
         else:
-            nwin = lww_dedup(narrow, key=key, order_col="seq")
+            nwin = lww_dedup(narrow, key=key, order_col="seq", tie_cols=("__oppri",))
         stats_collected = (
             nwin.withColumn("__b", self._bucket_expr(m))
             .groupBy("__b")

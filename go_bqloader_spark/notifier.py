@@ -17,6 +17,7 @@ the required ``Callable[[Result], None]`` shape."""
 from __future__ import annotations
 
 import json
+import urllib.error
 import urllib.request
 from dataclasses import dataclass, field
 from typing import Any, Callable
@@ -58,6 +59,13 @@ class SlackNotifier:
             resp = self.opener(req)
             status = getattr(resp, "status", 200)
             body = resp.read()
+        except urllib.error.HTTPError as e:
+            # the default urllib opener RAISES on HTTP >= 400 (HTTPError is
+            # an OSError subclass, so this must be caught first — ADVICE
+            # r3); route it through the status branch below so the real
+            # transport produces the reference's "failed with status code
+            # %d (%s)" message with the response body (notifier.go:119-122)
+            status, body = e.code, e.read()
         except OSError as e:  # connection-level failure
             raise RuntimeError(f"slack postMessage failed: {e}") from e
         if status >= 400:

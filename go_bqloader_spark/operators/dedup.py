@@ -222,16 +222,30 @@ def connected_components(
     representative per cluster). Returns ``(id, cluster_id)`` where
     ``cluster_id`` is the minimum member id (the canonical representative).
 
-    Distributed min-label propagation: every node repeatedly adopts the
-    smallest label among itself and its neighbors; converges in
-    O(component diameter) rounds. Near-dup graphs are dense clique-ish
-    clusters (diameter 2-3), so 3-4 rounds settle real corpora; the
-    driver loop checks a scalar convergence count per round (one small
-    aggregate — the canonical Spark iterative-algorithm shape, same as
-    MLlib/GraphX; the DATA never leaves executors) and localCheckpoints
-    each round to keep the plan from growing superlinearly. For
-    adversarial long-path graphs swap in the large-star/small-star
-    variant (O(log n) rounds); not needed for dedup workloads.
+    Contract-then-iterate min-label propagation:
+
+    1. ONE hop over the full edge set: every node adopts the min label
+       among itself and its neighbors. Dedup candidate graphs are dense
+       clique-ish families, so most components collapse to their min id
+       right here.
+    2. CONTRACT: re-express the edges between current labels and drop
+       self-loops/duplicates. Cliques vanish entirely; what survives is
+       the (tiny) quotient graph of not-yet-merged label classes — at
+       sf0.1 this is 9.4M edges → a few thousand.
+    3. Iterate jump+hop rounds on the contracted graph only: each round a
+       label first adopts the current label OF its label (pointer jumping
+       / path compression — O(log diameter) rounds), then the min over
+       its quotient-graph neighbors. Per-round cost is label-sized, not
+       edge-sized — the full edge set is scanned O(1) times total instead
+       of O(rounds).
+    4. Compose: final(a) = contracted_label(hop1_label(a)).
+
+    The driver loop checks a scalar convergence count per round (one
+    small aggregate — the canonical Spark iterative-algorithm shape, same
+    as MLlib/GraphX; the DATA never leaves executors) and localCheckpoints
+    each round to keep the plan from growing superlinearly. Raises
+    ``RuntimeError`` if ``max_iter`` rounds exhaust before the fixpoint —
+    returning partial labels would silently split clusters (ADVICE r3).
     """
     # materialize the (static) edge list once — every round joins it, and
     # without this the upstream pair-generation pipeline (LSH, signature
@@ -245,22 +259,78 @@ def connected_components(
         nodes = vertices.select(F.col(id_col).alias("a")).distinct()
     else:
         nodes = und.select("a").distinct()
-    labels = nodes.select("a", F.col("a").alias("lbl")).localCheckpoint(eager=True)
+    identity = nodes.select("a", F.col("a").alias("lbl"))
+
+    # (1) one hop over the full edge set (initial labels are the ids, so
+    # nbr_min is just min(neighbor id) — no label join needed yet)
+    nbr_min = (
+        und.groupBy("b").agg(F.min("a").alias("nlbl"))
+        .select(F.col("b").alias("a"), "nlbl")
+    )
+    l1 = (
+        identity.join(nbr_min, "a", "left")
+        .select("a", F.least("lbl", "nlbl").alias("lbl"))
+        .localCheckpoint(eager=True)
+    )
+
+    # (2) contract edges to the label quotient graph (map-side distinct
+    # collapses the clique bulk before the shuffle)
+    la = l1.select(F.col("a").alias("__a"), F.col("lbl").alias("la"))
+    lb = l1.select(F.col("a").alias("__b"), F.col("lbl").alias("lb"))
+    cund = (
+        und.join(la, und["a"] == la["__a"])
+        .join(lb, und["b"] == lb["__b"])
+        .select(F.col("la").alias("a"), F.col("lb").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    # (3) jump+hop rounds on the contracted graph
+    labels = (
+        cund.select("a").distinct()
+        .select("a", F.col("a").alias("lbl"))
+        .localCheckpoint(eager=True)
+    )
     for _ in range(max_iter):
-        nbr_min = (
-            und.join(labels, "a")
+        # jump: lbl <- current label of lbl (labels is materialized, so
+        # this self-join costs O(|labels|); least() keeps monotonicity
+        # and ignores the null from isolated-label misses)
+        mp = labels.select(F.col("a").alias("__n"), F.col("lbl").alias("__l2"))
+        jumped = labels.join(
+            mp, labels["lbl"] == mp["__n"], "left"
+        ).select("a", F.least("lbl", "__l2").alias("lbl"), F.col("lbl").alias("old"))
+        # hop: min over quotient-graph neighbors' (jumped) labels
+        nbr = (
+            cund.join(jumped.select("a", "lbl"), "a")
             .groupBy(F.col("b").alias("a"))
             .agg(F.min("lbl").alias("nlbl"))
         )
         new_labels = (
-            labels.join(nbr_min, "a", "left")
-            .select("a", F.least("lbl", "nlbl").alias("lbl"), F.col("lbl").alias("old"))
+            jumped.join(nbr, "a", "left")
+            .select("a", F.least("lbl", "nlbl").alias("lbl"), "old")
         ).localCheckpoint(eager=True)
         changed = new_labels.filter(F.col("lbl") != F.col("old")).limit(1).count()
         labels = new_labels.select("a", "lbl")
         if changed == 0:
             break
-    return labels.select(F.col("a").alias(id_col), F.col("lbl").alias("cluster_id"))
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(quotient-graph diameter exceeds 2^max_iter after pointer "
+            "jumping); raise max_iter — partial labels would split clusters"
+        )
+
+    # (4) compose: nodes whose hop-1 label was already final (fully
+    # collapsed families, singletons) miss the contracted map — keep l1
+    cl = labels.select(F.col("a").alias("__n"), F.col("lbl").alias("__l2"))
+    return (
+        l1.join(cl, l1["lbl"] == cl["__n"], "left")
+        .select(
+            F.col("a").alias(id_col),
+            F.coalesce("__l2", "lbl").alias("cluster_id"),
+        )
+    )
 
 
 def near_dup_clusters(

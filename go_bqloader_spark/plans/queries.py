@@ -964,11 +964,9 @@ NGRAM_JACCARD_SQL = f"""
 _MINHASH_SEEDS = ("s1", "s2", "s3", "s4")
 
 
-def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup candidates: shingle → md5 minhash (4 seeds) →
-    2 bands of 2 → bucket-join. The scale path for dedup: cost is linear in
-    tokens + band collisions, never all-pairs."""
-    d = load(spark, sf_dir, "documents")
+def _minhash_bands(d: DataFrame) -> DataFrame:
+    """(doc_id, band, bi): md5 minhash (4 seeds) → 2 bands of 2 — the
+    shared LSH bucketing behind ``minhash_lsh`` and ``dedup_clusters``."""
     toks = d.select(
         "doc_id", F.explode(F.array_distinct(F.expr(_TOKENS))).alias("tok")
     )
@@ -980,12 +978,21 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # one posexplode instead of a self-union: the signature aggregate runs
     # ONCE (a union of two selects over an aggregate re-executes it)
-    bands = sig.select(
+    return sig.select(
         "doc_id",
         F.posexplode(
             F.array(F.md5(F.concat("h1", "h2")), F.md5(F.concat("h3", "h4")))
         ).alias("bi0", "band"),
     ).select("doc_id", "band", (F.col("bi0") + 1).alias("bi"))
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidate PAIRS: shingle → md5 minhash (4
+    seeds) → 2 bands of 2 → bucket-join. Cost is linear in tokens + band
+    collisions, never all-pairs ACROSS buckets; the pair listing itself is
+    quadratic in bucket size by definition (clustering should consume the
+    star edges of ``dedup_clusters`` instead of this listing)."""
+    bands = _minhash_bands(load(spark, sf_dir, "documents"))
     return (
         bands.alias("a")
         .join(bands.alias("b"), ["band", "bi"])
@@ -995,8 +1002,9 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-MINHASH_SQL = f"""
-    WITH tok AS (
+# shared tok/sig/bands CTE body (DuckDB) — the md5 bucketing both oracle
+# queries derive from
+MINHASH_BANDS_CTE = f"""tok AS (
         SELECT DISTINCT doc_id, unnest({_TOKENS_SQL}) AS tok FROM documents
     ), sig AS (
         SELECT doc_id,
@@ -1006,7 +1014,10 @@ MINHASH_SQL = f"""
         SELECT doc_id, md5(h1 || h2) AS band, 1 AS bi FROM sig
         UNION ALL
         SELECT doc_id, md5(h3 || h4) AS band, 2 AS bi FROM sig
-    )
+    )"""
+
+MINHASH_SQL = f"""
+    WITH {MINHASH_BANDS_CTE}
     SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
     FROM bands a JOIN bands b
       ON a.band = b.band AND a.bi = b.bi AND a.doc_id < b.doc_id
@@ -1014,19 +1025,35 @@ MINHASH_SQL = f"""
 
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dedup END state: MinHash-LSH candidate pairs (exactly the
-    oracle-matched ``minhash_lsh`` edge set) → connected components →
-    ``(doc_id, cluster_id, is_rep)`` with cluster_id = min member id.
-    Spark runs distributed min-label propagation (O(diameter) rounds,
-    ``operators/dedup.py::connected_components``); the oracle computes the
-    same fixpoint as a recursive transitive closure in DuckDB. Singletons
-    are their own cluster; downstream dedup keeps ``is_rep = 1`` rows."""
+    """Near-dedup END state: MinHash-LSH band buckets → connected
+    components → ``(doc_id, cluster_id, is_rep)`` with cluster_id = min
+    member id.
+
+    The component graph uses per-bucket STAR edges (bucket-min → member),
+    NOT the quadratic pair listing: within a band bucket, all-pairs and
+    the star reach the identical transitive closure, but the star emits
+    O(members) edges instead of O(members²) — at sf0.1 that is ~10k edges
+    vs the 7.7M pairs ``minhash_lsh`` lists (a single 2.7k-doc near-dup
+    family alone is 3.7M pairs). This is THE load-bearing choice at
+    10^10 docs: candidate-bucket sizes follow a heavy-tailed dup-family
+    distribution, and any bucket² materialization eventually explodes.
+    Cluster membership is provably identical, so the recursive-closure
+    oracle (also star-based) matches. Spark runs contract-then-iterate
+    min-label propagation (``operators/dedup.py::connected_components``).
+    Singletons are their own cluster; downstream keeps ``is_rep = 1``."""
     from go_bqloader_spark.operators.dedup import connected_components
 
-    pairs = q_minhash_lsh(spark, sf_dir)
     d = load(spark, sf_dir, "documents")
+    bands = _minhash_bands(d)
+    bmin = bands.groupBy("band", "bi").agg(F.min("doc_id").alias("d1"))
+    stars = (
+        bands.join(bmin, ["band", "bi"])
+        .filter(F.col("doc_id") != F.col("d1"))
+        .select("d1", F.col("doc_id").alias("d2"))
+        .distinct()
+    )
     comp = connected_components(
-        pairs, vertices=d.select("doc_id"), src="d1", dst="d2", id_col="doc_id"
+        stars, vertices=d.select("doc_id"), src="d1", dst="d2", id_col="doc_id"
     )
     return comp.select(
         "doc_id",
@@ -1036,11 +1063,19 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DEDUP_CLUSTERS_SQL = """
-    WITH RECURSIVE pairs AS ({MINHASH}),
+    WITH RECURSIVE {BANDS},
+    bmin AS (
+        SELECT band, bi, min(doc_id) AS d1 FROM bands GROUP BY band, bi
+    ),
+    stars AS (
+        SELECT DISTINCT m.d1, b.doc_id AS d2
+        FROM bands b JOIN bmin m ON b.band = m.band AND b.bi = m.bi
+        WHERE b.doc_id <> m.d1
+    ),
     und AS (
-        SELECT d1 AS a, d2 AS b FROM pairs
+        SELECT d1 AS a, d2 AS b FROM stars
         UNION
-        SELECT d2, d1 FROM pairs
+        SELECT d2, d1 FROM stars
     ),
     r(a, b) AS (
         SELECT a, b FROM und
@@ -1057,7 +1092,7 @@ DEDUP_CLUSTERS_SQL = """
            CAST(CASE WHEN doc_id = cluster_id THEN 1 ELSE 0 END AS INT)
                AS is_rep
     FROM comp
-"""  # {MINHASH} is bound right after MINHASH_SQL's definition below
+"""  # {BANDS} is bound right after MINHASH_BANDS_CTE's definition below
 
 
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1405,7 +1440,7 @@ BROADCAST_SQL = """
 """
 
 
-DEDUP_CLUSTERS_SQL = DEDUP_CLUSTERS_SQL.format(MINHASH=MINHASH_SQL)
+DEDUP_CLUSTERS_SQL = DEDUP_CLUSTERS_SQL.format(BANDS=MINHASH_BANDS_CTE)
 
 # ------------------------------------------------------------------ registry
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {

@@ -203,9 +203,12 @@ def _decode_rk(rk: int) -> float:
 
 def read_xls_rows(data: bytes) -> list[list[str]]:
     """Parse the first worksheet of a BIFF8 ``.xls`` into rows of strings.
-    Missing/blank cells become ``""``; each row is emitted from column 0
-    through its last populated column (the Go library's FirstCol..LastCol
-    walk over a fresh row yields the same dense prefix)."""
+    Each row is emitted from its FIRST POPULATED column through its last
+    populated column — the Go library's ``row.FirstCol()..row.LastCol()``
+    walk (``amex.go:55-61``), so a sheet whose data block starts at
+    column >= 1 still puts the first real cell at ``row[0]`` and the
+    ``first_col_pattern`` date filter sees it (ADVICE r3). Interior
+    missing/blank cells become ``""``."""
     wb = _ole2_stream(data, ("Workbook", "Book"))
     sst: list[str] = []
     sheet_offsets: list[int] = []
@@ -256,8 +259,8 @@ def read_xls_rows(data: bytes) -> list[list[str]]:
     rows = []
     for r in sorted(cells):
         byc = cells[r]
-        last = max(byc)
-        rows.append([byc.get(c, "") for c in range(last + 1)])
+        first, last = min(byc), max(byc)
+        rows.append([byc.get(c, "") for c in range(first, last + 1)])
     return rows
 
 
@@ -274,22 +277,28 @@ def _ustr(s: str) -> bytes:
         return struct.pack("<HB", len(s), 1) + s.encode("utf-16-le")
 
 
-def write_xls(rows: list[list[str]], sheet_name: str = "Sheet1") -> bytes:
+def write_xls(rows: list[list[str | None]], sheet_name: str = "Sheet1") -> bytes:
     """Serialize rows of strings as a single-sheet BIFF8 workbook inside a
     minimal OLE2 container (FAT-only layout: the workbook stream is padded
-    past the 4096-byte mini-stream cutoff so no mini-FAT is needed)."""
+    past the 4096-byte mini-stream cutoff so no mini-FAT is needed).
+    ``None`` cells are UNPOPULATED (no record emitted) — distinct from
+    ``""`` (a populated empty string) — so fixtures can model real-world
+    sheets whose data block starts at a column >= 1."""
     strings: list[str] = []
     index: dict[str, int] = {}
     cell_recs = b""
+    n_cells = 0
     for r, row in enumerate(rows):
         for c, val in enumerate(row):
+            if val is None:
+                continue
+            n_cells += 1
             if val not in index:
                 index[val] = len(strings)
                 strings.append(val)
             cell_recs += _rec(
                 0x00FD, struct.pack("<HHHI", r, c, 0, index[val])
             )
-    n_cells = sum(len(r) for r in rows)
     sst = _rec(
         0x00FC,
         struct.pack("<II", n_cells, len(strings))

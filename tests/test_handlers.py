@@ -351,6 +351,17 @@ def test_xls_roundtrip_and_cell_types(tmp_path):
     rows = [["日付", "金額", ""], ["2022/06/19", "1,760"], ["x"]]
     assert read_xls_rows(write_xls(rows)) == rows
 
+    # FirstCol parity (amex.go:55-61, ADVICE r3): a sheet whose data block
+    # starts at column >= 1 yields rows starting at the first POPULATED
+    # cell, not a "" pad from column 0 — None cells are unpopulated
+    offset = [[None, "2022/06/19", "SHOP", "¥100"], [None, None, "x"]]
+    assert read_xls_rows(write_xls(offset)) == [
+        ["2022/06/19", "SHOP", "¥100"], ["x"],
+    ]
+    # interior gaps are still "" (populated range is FirstCol..LastCol)
+    gap = [["a", None, "c"]]
+    assert read_xls_rows(write_xls(gap)) == [["a", "", "c"]]
+
     # splice a NUMBER and an RK record into a written sheet to cover the
     # numeric decode paths (integral → no trailing .0; RK int + cents)
     from go_bqloader_spark.sources.xlsbiff import _decode_rk, _fmt_num
@@ -385,6 +396,29 @@ def test_amex_xls_golden(spark, tmp_path):
          "129", "1.00 USD", "129", "", "2022-07-01"),
         ("2022-05-29", "2022-05-29", "IWANTMYNAME IWANTMYNAME", "",
          "-129", "1.00 USD", "129", "", "2022-07-01"),
+    ]
+
+
+def test_amex_xls_offset_columns(spark, tmp_path):
+    """A real-world sheet whose data block starts at column 1 (column 0
+    never populated) still parses: the FirstCol walk puts the date at
+    row[0] so the dateRE filter keeps the statement rows (ADVICE r3)."""
+    from go_bqloader_spark.plans.handlers import amex_statement
+    from go_bqloader_spark.sources.xlsbiff import write_xls
+
+    wb = write_xls([
+        [None, "カードご利用履歴: "],
+        [None, "ご利用日", "データ処理日", "ご利用内容", "カード会員様名", "金額"],
+        [None, "2022/06/19", "2022/06/20", "GOOGLE *DOMAINS", "TARO AMEX", "￥1,760"],
+    ])
+    d = tmp_path / "in"
+    d.mkdir()
+    (d / "2022-07.xls").write_bytes(wb)
+    h = amex_statement("amex", r"/\d{4}-\d{2}\.xls$")
+    got = [tuple(r) for r in h.run(spark, f"{d}/2022-07.xls").collect()]
+    assert got == [
+        ("2022-06-19", "2022-06-20", "GOOGLE *DOMAINS", "TARO AMEX",
+         "1760", "", "", "", "2022-07-01"),
     ]
 
 
@@ -465,6 +499,22 @@ def test_slack_notifier_contract():
 
     with pytest.raises(RuntimeError, match="status code 500"):
         SlackNotifier("#channel", "validToken", opener=lambda r: Boom()).notify(
+            ok_result
+        )
+
+    # the REAL urllib opener raises HTTPError (an OSError subclass) on
+    # HTTP >= 400 — it must reach the status branch with the body, not be
+    # rewrapped as a connection failure (ADVICE r3)
+    import urllib.error
+
+    def raising_opener(req):
+        raise urllib.error.HTTPError(
+            req.full_url, 503, "Service Unavailable", {},
+            __import__("io").BytesIO(b"upstream says no"),
+        )
+
+    with pytest.raises(RuntimeError, match="status code 503.*upstream says no"):
+        SlackNotifier("#channel", "validToken", opener=raising_opener).notify(
             ok_result
         )
 

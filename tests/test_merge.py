@@ -417,6 +417,76 @@ def test_create_exclusive_never_partial(tmp_path):
     assert [f for f in fs.listdir(str(tmp_path)) if ".cas." in f] == []
 
 
+@pytest.mark.parametrize("salted", [True, False])
+def test_cow_tie_break_matches_survivor_window(spark, tmp_path, salted):
+    """A (key, seq) tie between a 'U' and a 'D' in one batch (outside the
+    verbatim-redelivery contract): the CoW narrow stats pre-pass must pick
+    the same winner as the payload survivor window — 'D' — so the delete
+    is both counted in lineage AND actually applied (ADVICE r3)."""
+    t = _make_table(spark, tmp_path, n_buckets=4, write_mode="cow")
+    url = "https://tie.ex/p"
+    batch = spark.createDataFrame(
+        [("U", 5, url, None, None, "keepme", "en"),
+         ("D", 5, url, None, None, None, None),
+         ("U", 1, "https://other.ex/p", None, None, "x", "en")],
+        "op string, seq bigint, url string, warc_ts timestamp, "
+        "html binary, text string, lang string",
+    )
+    s = t.merge(batch, batch_key=("q", 0), salted=salted)
+    live = [r["url"] for r in t.read().select("url").collect()]
+    assert live == ["https://other.ex/p"]  # the delete won the tie
+    assert s.rows_deleted == 1 and s.rows_upserted == 1
+
+
+def test_publish_if_newer_is_monotonic(tmp_path):
+    """The LATEST pointer only moves forward (ADVICE r3 medium): a stalled
+    writer's late publish of an older version is a no-op, so readers never
+    regress to a stale snapshot after later commits landed."""
+    from go_bqloader_spark.lake.fsio import LocalFS
+
+    fs = LocalFS()
+    p = str(tmp_path / "LATEST")
+    assert fs.publish_if_newer(p, 1) is True
+    assert fs.publish_if_newer(p, 3) is True
+    # the stalled writer wakes up and tries to publish v2 after v3 landed
+    assert fs.publish_if_newer(p, 2) is False
+    assert fs.read_text(p).strip() == "3"
+    # idempotent re-publish of the current version is also a no-op
+    assert fs.publish_if_newer(p, 3) is False
+    # works when the pointer doesn't exist yet (interrupted table create)
+    p2 = str(tmp_path / "LATEST2")
+    assert fs.publish_if_newer(p2, 0) is True
+    assert fs.read_text(p2).strip() == "0"
+
+
+def test_repair_never_rolls_latest_backward(spark, tmp_path):
+    """The ADVICE r3 TOCTOU scenario: writer A CAS-created vN+1 but stalled
+    pre-publish; meanwhile the table advanced to vN+2. A's eventual repair/
+    publish of vN+1 must leave LATEST at vN+2."""
+    import json
+
+    t = _make_table(spark, tmp_path, n_buckets=4)
+    t.merge(_tiny_batch(spark, 0), batch_key=("q", 0))
+    v = t.current_version()
+    # A's completed-but-unpublished manifest at v+1
+    orphan = dict(t.manifest(), version=v + 1, parent=v,
+                  summary={"operation": "stalled"}, metrics=[])
+    t.fs.create_exclusive(t._manifest_path(v + 1), json.dumps(orphan))
+    # B repairs (rolls LATEST to v+1, surfacing the retryable conflict),
+    # then the retry commits v+2
+    t2 = LakeTable(spark, str(tmp_path / "tbl"))
+    with pytest.raises(RuntimeError, match="rolled forward"):
+        t2.merge(_tiny_batch(spark, 1), batch_key=("q", 1))
+    t2.merge(_tiny_batch(spark, 1), batch_key=("q", 1))
+    assert t2.current_version() == v + 2
+    # A wakes up and re-runs its publish path for v+1 — must be a no-op
+    latest = t2.fs  # same FS seam A would use
+    import os as _os
+    lp = _os.path.join(str(tmp_path / "tbl"), "_manifests", "LATEST")
+    assert latest.publish_if_newer(lp, v + 1) is False
+    assert t2.current_version() == v + 2
+
+
 def test_expire_snapshots_spares_inflight_commit_dirs(spark, tmp_path):
     """GC must not delete data dirs of a concurrent merge that has written
     parquet but not yet CAS-committed its manifest (ADVICE r2 medium):
@@ -464,3 +534,45 @@ def test_observation_stats_path_matches_readback(spark, tmp_path):
         finally:
             LakeTable._OBS_MAX_BUCKETS = old
     assert results["obs"] == results["readback"]
+
+
+@pytest.mark.parametrize("mode", MODES)
+def test_near_dup_rewrite_maintenance(spark, tmp_path, mode):
+    """Ingest → near-dup cluster → keep-representatives, end-to-end through
+    the CDC path: duplicates are tombstoned via the normal exactly-once
+    merge, the representative (min key) survives, unique pages untouched,
+    and redelivery of the maintenance batch is a ledger no-op."""
+    from go_bqloader_spark.lake import near_dup_rewrite
+
+    t = _make_table(spark, tmp_path, n_buckets=4, write_mode=mode)
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        ("U", 1, "https://a.ex/1", None, None, base, "en"),
+        ("U", 2, "https://a.ex/2", None, None, base, "en"),
+        ("U", 3, "https://b.ex/1", None, None, base + " extra", "en"),
+        ("U", 4, "https://c.ex/1", None, None,
+         "completely different content about spark engines and lakes", "en"),
+        ("U", 5, "https://n.ex/null", None, None, None, "en"),
+    ]
+    batch = spark.createDataFrame(
+        rows,
+        "op string, seq bigint, url string, warc_ts timestamp, "
+        "html binary, text string, lang string",
+    )
+    t.merge(batch, batch_key=("q", 0))
+
+    rep = near_dup_rewrite(t, threshold=0.5, batch_id=0)
+    assert rep.scanned == 4  # NULL-text row is not a candidate
+    assert rep.removed >= 2  # a.ex/2 and b.ex/1 fold into a.ex/1's cluster
+    live = sorted(r["url"] for r in t.read().select("url").collect())
+    assert "https://a.ex/1" in live            # representative kept
+    assert "https://a.ex/2" not in live        # duplicate tombstoned
+    assert "https://c.ex/1" in live            # unique page untouched
+    assert "https://n.ex/null" in live         # null-text page untouched
+
+    # exactly-once: redelivering the same maintenance batch is a no-op
+    rep2 = near_dup_rewrite(t, threshold=0.5, batch_id=0)
+    assert rep2.merge.skipped and rep2.removed == 0
+    # a fresh pass over the already-deduped table finds nothing to remove
+    rep3 = near_dup_rewrite(t, threshold=0.5, batch_id=1)
+    assert rep3.removed == 0
