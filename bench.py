@@ -79,11 +79,24 @@ def main():
     spark = build_session(
         app_name="bench", master=f"local[{cpus}]", shuffle_partitions=cpus
     )
-    times: dict[str, float] = {}
-    for name in HEADLINE:
-        t0 = time.time()
-        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        times[name] = round(time.time() - t0, 3)
+    # noise controls (VERDICT r3: four rows drifted 1.5-2.1x with unchanged
+    # code — same-process neighbors + host weather):
+    #   SPARK_GRAFT_BENCH_REPS=N     run each query N times, report the min
+    #   SPARK_GRAFT_BENCH_SHUFFLE=1  randomize query order (seeded) so a
+    #                                heavy neighbor can't bias a fixed slot
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "1"))
+    order = list(HEADLINE)
+    if os.environ.get("SPARK_GRAFT_BENCH_SHUFFLE"):
+        import random
+
+        random.Random(int(os.environ.get("SPARK_GRAFT_BENCH_SEED", "0"))).shuffle(order)
+    all_reps: dict[str, list[float]] = {name: [] for name in order}
+    for _ in range(reps):
+        for name in order:
+            t0 = time.time()
+            QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            all_reps[name].append(round(time.time() - t0, 3))
+    times: dict[str, float] = {name: min(v) for name, v in all_reps.items()}
 
     work = tempfile.mkdtemp(prefix="bench_cdc_")
     try:
@@ -111,6 +124,8 @@ def main():
             "cpus": cpus,
         },
     }
+    if reps > 1:
+        out["query_reps"] = all_reps
     print(json.dumps(out))
     spark.stop()
 

@@ -77,6 +77,11 @@ def _decode_one(payload: bytes | None) -> tuple[str | None, int | None, int | No
     if mc.is_ppm(payload):
         w, h, _ch, _px = mc.decode_ppm(payload)
         return "image/x-portable-pixmap", w, h
+    from go_bqloader_spark.operators import jpegcodec as jc
+
+    if jc.is_jpeg(payload):
+        w, h, _ch, _px = jc.decode_jpeg(payload)
+        return "image/jpeg", w, h
     if _PILImage is not None:
         import io
 
@@ -84,17 +89,20 @@ def _decode_one(payload: bytes | None) -> tuple[str | None, int | None, int | No
             fmt = (img.format or "unknown").lower()
             return f"image/{fmt}", int(img.width), int(img.height)
     raise NotImplementedError(
-        "no codec for this payload (stdlib codecs cover PNG/BMP/PPM; "
-        "JPEG/video need external decoders absent in this environment)"
+        "no codec for this payload (built-in codecs cover PNG/BMP/PPM/"
+        "baseline JPEG; progressive JPEG and video need external decoders "
+        "absent in this environment)"
     )
 
 
 def _feature_one(payload: bytes | None, dim: int = 8) -> list[float] | None:
     """Feature extractor: for payloads our codecs fully decode (PNG / BMP /
-    PPM) the embedding is computed from the REAL pixels (per-channel
-    mean/spread + shape — ``channel_stats_features``); otherwise a
-    deterministic digest-based pseudo-embedding stands in for a vision
-    encoder. Both are 8-dim, deterministic, and shuffle nothing wide."""
+    PPM / baseline JPEG) the embedding is computed from the REAL pixels
+    (per-channel mean/spread + shape — ``channel_stats_features``);
+    otherwise a deterministic digest-based pseudo-embedding stands in for
+    a vision encoder. Both are 8-dim, deterministic, and shuffle nothing
+    wide."""
+    from go_bqloader_spark.operators import jpegcodec as jc
     from go_bqloader_spark.operators import mediacodecs as mc
 
     if payload is None:
@@ -106,7 +114,9 @@ def _feature_one(payload: bytes | None, dim: int = 8) -> list[float] | None:
             return mc.channel_stats_features(*mc.decode_bmp(payload))[:dim]
         if mc.is_ppm(payload):
             return mc.channel_stats_features(*mc.decode_ppm(payload))[:dim]
-    except ValueError:
+        if jc.is_jpeg(payload):
+            return mc.channel_stats_features(*jc.decode_jpeg(payload))[:dim]
+    except (ValueError, NotImplementedError):
         pass  # unsupported shape → digest fallback below
     d = hashlib.sha256(payload).digest()
     return [((d[i] / 255.0) * 2.0 - 1.0) for i in range(dim)]

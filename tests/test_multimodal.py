@@ -56,7 +56,7 @@ def test_media_batch_iter_rechunks_by_bytes():
 
 def test_unknown_payload_raises_not_implemented(spark):
     df = spark.createDataFrame(
-        [("u", "2024-01-01 00:00:00", b"\xff\xd8\xff real jpeg bytes")],
+        [("u", "2024-01-01 00:00:00", b"\x00\x01some-unknown-container")],
         "url string, warc_ts string, payload binary",
     ).select("url", F.to_timestamp("warc_ts").alias("warc_ts"), "payload")
     with pytest.raises(Exception, match="(?i)stub|NotImplemented"):
@@ -204,3 +204,109 @@ def test_audio_meta_mapinpandas(spark):
     assert rows["a"]["n_channels"] == 1 and rows["a"]["sha256"] is not None
     assert rows["b"]["mime"] is None and rows["b"]["n_bytes"] == 9
     assert rows["c"]["mime"] is None and rows["c"]["n_bytes"] is None
+
+
+# ---------------------------------------------- baseline JPEG (round 4)
+def test_jpeg_structural_invariants():
+    """Encoder and decoder share ZIGZAG/_M, so a transposed table would
+    self-cancel in roundtrips — assert the tables independently."""
+    import numpy as np
+
+    from go_bqloader_spark.operators.jpegcodec import ZIGZAG, _M
+
+    assert sorted(ZIGZAG) == list(range(64))  # permutation
+    # first diagonal walk of the T.81 zigzag
+    assert ZIGZAG[:10] == [0, 1, 8, 16, 9, 2, 3, 10, 17, 24]
+    assert ZIGZAG[-3:] == [55, 62, 63]
+    # DCT basis is orthonormal: M @ M.T == I (so _M.T @ X @ _M inverts)
+    assert np.abs(_M @ _M.T - np.eye(8)).max() < 1e-12
+
+
+def test_jpeg_roundtrip_444_and_gray():
+    """Near-lossless roundtrip at flat quant=1: only DCT/color rounding,
+    so error <= 2/channel. Odd dims exercise partial-block replication."""
+    import numpy as np
+
+    from go_bqloader_spark.operators.jpegcodec import (
+        decode_jpeg, encode_jpeg, is_jpeg,
+    )
+
+    rng = np.random.default_rng(7)
+    w, h = 37, 23
+    x = np.linspace(0, 255, w)[None, :, None]
+    y = np.linspace(0, 255, h)[:, None, None]
+    img = np.clip(x * 0.5 + y * 0.5 + rng.normal(0, 8, (h, w, 3)), 0, 255).astype(
+        np.uint8
+    )
+    data = encode_jpeg(w, h, 3, img.tobytes())
+    assert is_jpeg(data)
+    dw, dh, ch, px = decode_jpeg(data)
+    assert (dw, dh, ch) == (w, h, 3)
+    out = np.frombuffer(px, np.uint8).reshape(h, w, 3)
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 2
+
+    g = img[..., 0]
+    data = encode_jpeg(w, h, 1, g.tobytes())
+    dw, dh, ch, px = decode_jpeg(data)
+    assert (dw, dh, ch) == (w, h, 1)
+    out = np.frombuffer(px, np.uint8).reshape(h, w)
+    assert np.abs(out.astype(int) - g.astype(int)).max() <= 2
+
+
+def test_jpeg_420_subsampling_and_byte_stuffing():
+    """4:2:0 exercises the multi-block MCU + chroma upsampling path; on a
+    chroma-smooth image the loss stays small. The entropy stream must
+    contain FF00 stuffing at least once across fixtures (decoder unstuffs)."""
+    import numpy as np
+
+    from go_bqloader_spark.operators.jpegcodec import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(11)
+    w, h = 48, 32
+    # luma detail, chroma smooth (gray-ish) — 4:2:0's design assumption
+    base = rng.integers(0, 255, (h, w), dtype=np.uint8)
+    img = np.stack([base, base, base], axis=2)
+    data = encode_jpeg(w, h, 3, img.tobytes(), subsample=(2, 2))
+    dw, dh, ch, px = decode_jpeg(data)
+    assert (dw, dh, ch) == (w, h, 3)
+    out = np.frombuffer(px, np.uint8).reshape(h, w, 3)
+    assert np.abs(out.astype(int) - img.astype(int)).mean() < 3.0
+    # stuffing seen somewhere in the scan (after the last DHT segment)
+    scan_start = data.rindex(b"\xff\xda")
+    assert b"\xff\x00" in data[scan_start:]
+
+
+def test_jpeg_progressive_raises():
+    import struct
+
+    import pytest as _pytest
+
+    from go_bqloader_spark.operators.jpegcodec import decode_jpeg
+
+    sof2 = b"\xff\xd8" + b"\xff\xc2" + struct.pack(">H", 11) + bytes(9)
+    with _pytest.raises(NotImplementedError, match="progressive"):
+        decode_jpeg(sof2)
+
+
+def test_jpeg_through_decode_image_meta(spark):
+    """decode_image_meta returns REAL dimensions for a JPEG payload and
+    pixel-derived features (VERDICT r3 'Done' criterion for JPEG)."""
+    import numpy as np
+
+    from go_bqloader_spark.operators.jpegcodec import decode_jpeg, encode_jpeg
+    from go_bqloader_spark.operators.mediacodecs import channel_stats_features
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 255, (16, 24, 3), dtype=np.uint8)
+    payload = encode_jpeg(24, 16, 3, img.tobytes())
+    df = spark.createDataFrame(
+        [("u1", None, bytearray(payload))],
+        "url string, warc_ts timestamp, payload binary",
+    )
+    row = decode_image_meta(df).collect()[0]
+    assert (row["mime"], row["width"], row["height"]) == ("image/jpeg", 24, 16)
+    # features come from the DECODED pixels
+    w, h, ch, px = decode_jpeg(payload)
+    assert list(row["feat"]) == pytest.approx(
+        channel_stats_features(w, h, ch, px)[:8], abs=1e-6
+    )
