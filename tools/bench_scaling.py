@@ -124,27 +124,46 @@ def run_leg(cores: int, n_batches: int, feed: str, work: str) -> dict:
     return r
 
 
+_PROBE_CHILD = (
+    "import numpy as np, time\n"
+    "a=np.ones({words}); b=np.empty_like(a)\n"
+    "np.copyto(b,a)\n"  # warm (page-fault the buffers)
+    "t0=time.time()\n"
+    "for _ in range({reps}): np.copyto(b,a)\n"
+    "print(time.time()-t0)\n"
+)
+
+
+def _copy_probe(n: int, words: int = 25_000_000, reps: int = 10) -> float:
+    """Aggregate copy-only GB/s at n procs. Children time ONLY the copy
+    loop (spawn + numpy import excluded — the naive version under-reads
+    3-5x, see sandbox profile notes)."""
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", _PROBE_CHILD.format(words=words, reps=reps)],
+            stdout=subprocess.PIPE, text=True,
+        )
+        for _ in range(n)
+    ]
+    gb_per_proc = words * 8 * reps * 2 / 1e9  # read + write
+    total = 0.0
+    for p in procs:
+        out, _ = p.communicate()
+        total += gb_per_proc / float(out.strip())
+    return round(total, 1)
+
+
+def quick_probe_8() -> float:
+    """~2s interleaved host-bus check (8 procs, copy-only GB/s) run
+    BETWEEN scaling legs so a storm window is visible in-session rather
+    than inferred after the fact (VERDICT r3 next-round #5)."""
+    return _copy_probe(8, words=12_500_000, reps=8)
+
+
 def membw_probe() -> dict[int, float]:
     """Aggregate parallel-memcpy bandwidth (GB/s) at 2/8/32 processes —
     the host ceiling that explains the diagnostic pair."""
-    out = {}
-    for n in (2, 8, 32):
-        t0 = time.time()
-        procs = [
-            subprocess.Popen(
-                [sys.executable, "-c",
-                 "import numpy as np\n"
-                 "a=np.ones(25_000_000); b=np.empty_like(a)\n"
-                 "for _ in range(10): np.copyto(b,a)"]
-            )
-            for _ in range(n)
-        ]
-        for p in procs:
-            p.wait()
-        dt = time.time() - t0
-        # each proc copies 0.2GB x10 = 2GB read+2GB write
-        out[n] = round(n * 4.0 / dt, 2)
-    return out
+    return {n: _copy_probe(n) for n in (2, 8, 32)}
 
 
 def pair_result(name: str, lo: dict, hi: dict, factor: int) -> dict:
@@ -181,12 +200,19 @@ def main():
         # the quiet windows; every rep is recorded for transparency
         best: dict[int, dict] = {}
         reps: dict[int, list[float]] = {n_lo: [], n_hi: []}
+        probes: list[dict] = [{"when": "before", "GBps8": quick_probe_8()}]
         for i in range(PRIMARY_REPS):
             # alternate leg order so slow host drift hits both legs equally
             order = (n_lo, n_hi) if i % 2 == 0 else (n_hi, n_lo)
             for c in order:
                 r = run_leg(c, nb, feed, work)
                 reps[c].append(r["wall_sec"])
+                # interleaved probe: stamp the bus state RIGHT AFTER each
+                # leg so slow walls can be attributed (or not) to storms
+                probes.append({
+                    "after_leg": c, "rep": i, "wall_sec": r["wall_sec"],
+                    "GBps8": quick_probe_8(),
+                })
                 if c not in best or r["events_per_sec"] > best[c]["events_per_sec"]:
                     best[c] = r
         primary = pair_result(
@@ -203,6 +229,7 @@ def main():
         primary["median_scaling_efficiency"] = round(
             (med[n_lo] / med[n_hi]) / (n_hi // n_lo), 3
         )
+        primary["interleaved_probes_GBps8"] = probes
         if PRIMARY_ONLY:
             diagnostic = None
         else:
@@ -268,7 +295,7 @@ def main():
     d32 = diagnostic["legs"]["32"] if diagnostic else d8
     if diagnostic is None:
         diagnostic = {"scaling_efficiency": float("nan")}
-    md = f"""# BENCH/BASELINE.md — CDC apply scaling evidence
+    md = f"""# BENCH/scaling_report.md — CDC apply scaling evidence (generated)
 
 Protocol (BASELINE.md §3): identical job, identical pre-staged deterministic
 input (seed 42), identical production code path (`spark-submit --py-files`),
@@ -329,7 +356,12 @@ co-locates keys), 8-byte key-hash sort prefixes, off-heap Tungsten buffers
 (GC-free shuffle path), bucket pruning via manifest, delta-append
 merge-on-read writes (O(batch), never O(table)).
 """
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    # BENCH/BASELINE.md is hand-curated (it carries correctness and noise
+    # sections beyond scaling); overwriting it from this template lost
+    # those once — same clobber class as the r3 explain_audit bug. The
+    # generated report goes to its own file; curate BASELINE.md manually
+    # from it after a good session.
+    with open(os.path.join(REPO, "BENCH", "scaling_report.md"), "w") as f:
         f.write(md)
     print(json.dumps(result))
 
