@@ -45,6 +45,7 @@ def near_dup_rewrite(
     threshold: float = 0.7,
     batch_id: int = 0,
     query_id: str = "near_dup_rewrite",
+    neighbor_window: int | None = 8,
     **minhash_kw,
 ) -> DedupReport:
     """Near-dedup maintenance: cluster the table's live rows on
@@ -55,7 +56,11 @@ def near_dup_rewrite(
     Re-running with the same ``(query_id, batch_id)`` is a no-op (ledger
     skip); re-running with a fresh ``batch_id`` after new ingests only
     removes newly-introduced duplicates. Rows whose ``text_col`` is NULL
-    are never candidates.
+    are never candidates. ``neighbor_window=8`` bounds per-bucket
+    candidate pairs (sorted-neighborhood; see ``minhash_candidates``) —
+    the default because maintenance targets exactly the mega-family
+    corpora where exact pairing is quadratic; pass ``None`` for the
+    exact pair graph on small tables.
     """
     m = table.manifest()
     key = m["key"]
@@ -64,7 +69,8 @@ def near_dup_rewrite(
         F.concat_ws("\x00", *key).alias("__id"), F.col(text_col)
     )
     clusters = near_dup_clusters(
-        docs, id_col="__id", text_col=text_col, threshold=threshold, **minhash_kw
+        docs, id_col="__id", text_col=text_col, threshold=threshold,
+        neighbor_window=neighbor_window, **minhash_kw
     )
     losers = clusters.filter(~F.col("is_rep")).select("__id")
     data_cols = [

@@ -16,5 +16,8 @@ from go_bqloader_spark.operators.multimodal import (  # noqa: F401
 from go_bqloader_spark.operators.similarity import (  # noqa: F401
     cosine_topk,
     hyperplane_lsh_buckets,
+    ivf_assign,
+    ivf_cells,
+    ivf_topk,
     lsh_topk,
 )

@@ -19,7 +19,7 @@ these are the parameterized library versions.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
 
@@ -74,9 +74,25 @@ def minhash_signatures(
 
 
 def minhash_candidates(
-    sig: DataFrame, id_col: str = "doc_id", bands: int = 4
+    sig: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 4,
+    neighbor_window: int | None = None,
 ) -> DataFrame:
-    """Banded LSH: docs sharing any band bucket become a candidate pair."""
+    """Banded LSH: docs sharing any band bucket become a candidate pair.
+
+    ``neighbor_window=None`` pairs every co-bucketed doc (exact; O(size²)
+    per bucket). ``neighbor_window=W`` switches to sorted-neighborhood
+    pairing: within each bucket, members sorted by id pair only with
+    their next W neighbors — identical output for buckets of size <= W+1
+    and O(size × W) beyond, which is the bound that matters at 10^10
+    docs where dup-family bucket sizes are heavy-tailed (one 2.7k-doc
+    family is 3.7M pairs exact vs 21k at W=8). Windowed pairs chain
+    through a family, so downstream CONNECTED-COMPONENT clustering
+    recovers the same clusters whenever consecutive (id-sorted) members
+    stay above the verify threshold — the regime that creates mega-
+    buckets in the first place (near-identical docs). Pure top-k pair
+    listings should keep ``None``."""
     k = bands  # slice count; rows-per-band derived from sig length at runtime
     banded = sig.select(
         id_col,
@@ -87,6 +103,20 @@ def minhash_candidates(
             )
         ).alias("band_idx", "bucket"),
     )
+    if neighbor_window is not None:
+        w = W.partitionBy("band_idx", "bucket").orderBy(id_col)
+        nbrs = F.array(
+            *[F.lead(id_col, i).over(w) for i in range(1, neighbor_window + 1)]
+        )
+        return (
+            banded.withColumn("__nb", nbrs)
+            .select(
+                F.col(id_col).alias("d1"),
+                F.explode("__nb").alias("d2"),
+            )
+            .filter(F.col("d2").isNotNull())
+            .distinct()
+        )
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(b, ["band_idx", "bucket"])
@@ -105,14 +135,17 @@ def minhash_dedup(
     threshold: float = 0.7,
     n_shingle: int = 1,
     seed: int = 42,
+    neighbor_window: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs with estimated Jaccard ≥ threshold.
 
     The estimate is the fraction of equal signature components — unbiased
     for Jaccard; candidates come from banded LSH so only colliding pairs
-    are compared (broadcastable signature join per pair)."""
+    are compared (broadcastable signature join per pair).
+    ``neighbor_window`` bounds per-bucket candidates for heavy-tailed
+    dup families (see :func:`minhash_candidates`)."""
     sig = minhash_signatures(df, id_col, text_col, k, n_shingle, seed)
-    cand = minhash_candidates(sig, id_col, bands)
+    cand = minhash_candidates(sig, id_col, bands, neighbor_window)
     s1 = sig.select(F.col(id_col).alias("d1"), F.col("sig").alias("sig1"))
     s2 = sig.select(F.col(id_col).alias("d2"), F.col("sig").alias("sig2"))
     est = F.expr(
@@ -342,12 +375,17 @@ def near_dup_clusters(
     threshold: float = 0.7,
     n_shingle: int = 1,
     seed: int = 42,
+    neighbor_window: int | None = None,
 ) -> DataFrame:
     """End-to-end near-dedup: MinHash-LSH pairs → connected components →
     one representative per cluster. Returns ``(doc_id, cluster_id,
     is_rep)``; downstream keeps ``is_rep`` rows (or joins back to drop
-    duplicates). Singleton documents are their own cluster."""
-    pairs = minhash_dedup(df, id_col, text_col, k, bands, threshold, n_shingle, seed)
+    duplicates). Singleton documents are their own cluster. Set
+    ``neighbor_window`` (e.g. 8) on large corpora: candidate pairs chain
+    through each bucket instead of exploding quadratically, and the
+    component pass restores full clusters."""
+    pairs = minhash_dedup(df, id_col, text_col, k, bands, threshold, n_shingle, seed,
+                          neighbor_window)
     comp = connected_components(
         pairs, vertices=df.select(id_col), src="d1", dst="d2", id_col=id_col
     )

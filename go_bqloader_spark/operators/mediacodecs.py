@@ -247,3 +247,102 @@ def channel_stats_features(w: int, h: int, ch: int, pixels: bytes) -> list[float
     feats.append(math.tanh(math.log10(max(n, 1)) / 4))
     feats.append(math.tanh(w / max(h, 1) - 1))
     return feats
+
+
+# ----------------------------------------------------- MP4 (ISO BMFF) meta
+def is_mp4(data: bytes) -> bool:
+    return len(data) >= 12 and data[4:8] == b"ftyp"
+
+
+def _walk_boxes(data: bytes, start: int, end: int):
+    """Yield (type, body_start, body_end) for each box in [start, end)."""
+    pos = start
+    while pos + 8 <= end:
+        size = struct.unpack_from(">I", data, pos)[0]
+        typ = data[pos + 4 : pos + 8]
+        if size == 1:  # 64-bit largesize
+            size = struct.unpack_from(">Q", data, pos + 8)[0]
+            body = pos + 16
+        elif size == 0:  # to end of file
+            size = end - pos
+            body = pos + 8
+        else:
+            body = pos + 8
+        if size < 8 or pos + size > end:
+            break
+        yield typ, body, pos + size
+        pos += size
+
+
+def decode_mp4_meta(data: bytes) -> dict:
+    """Container-level metadata from the public ISO/IEC 14496-12 box
+    structure: brand, duration (mvhd), per-track handler + video WxH
+    (tkhd 16.16 fixed point). FRAME decode needs an H.264/H.265 decoder
+    (absent here) — the metadata path is the real, tested part; sampling
+    raises upstream (``sample_video_frames``)."""
+    if not is_mp4(data):
+        raise ValueError("not an ISO-BMFF/MP4 container")
+    meta = {"brand": None, "duration_ms": None, "n_tracks": 0,
+            "width": None, "height": None, "has_video": False,
+            "has_audio": False}
+    for typ, b, e in _walk_boxes(data, 0, len(data)):
+        if typ == b"ftyp":
+            meta["brand"] = data[b : b + 4].decode("latin-1")
+        elif typ == b"moov":
+            for t2, b2, e2 in _walk_boxes(data, b, e):
+                if t2 == b"mvhd":
+                    ver = data[b2]
+                    if ver == 1:
+                        ts, dur = struct.unpack_from(">IQ", data, b2 + 20)
+                    else:
+                        ts, dur = struct.unpack_from(">II", data, b2 + 12)
+                    if ts:
+                        meta["duration_ms"] = int(dur * 1000 // ts)
+                elif t2 == b"trak":
+                    meta["n_tracks"] += 1
+                    for t3, b3, e3 in _walk_boxes(data, b2, e2):
+                        if t3 == b"tkhd":
+                            ver = data[b3]
+                            off = b3 + (96 if ver == 1 else 84) - 8
+                            w, h = struct.unpack_from(">II", data, off)
+                            if w and h:  # 16.16 fixed; audio tracks are 0x0
+                                meta["width"] = w >> 16
+                                meta["height"] = h >> 16
+                        elif t3 == b"mdia":
+                            for t4, b4, _e4 in _walk_boxes(data, b3, e3):
+                                if t4 == b"hdlr":
+                                    handler = data[b4 + 8 : b4 + 12]
+                                    if handler == b"vide":
+                                        meta["has_video"] = True
+                                    elif handler == b"soun":
+                                        meta["has_audio"] = True
+    return meta
+
+
+def write_mp4_skeleton(
+    width: int, height: int, duration_ms: int, brand: bytes = b"isom",
+    with_audio: bool = False,
+) -> bytes:
+    """Minimal valid ISO-BMFF box tree (ftyp + moov[mvhd, trak...]) for
+    fixtures — structure only, no media data (same fixture-writer
+    discipline as write_xls / encode_png / encode_jpeg)."""
+
+    def box(typ: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(body)) + typ + body
+
+    ts = 1000
+    mvhd = box(b"mvhd", bytes(4) + struct.pack(">IIII", 0, 0, ts, duration_ms)
+               + bytes(80))
+    def trak(handler: bytes, w: int, h: int) -> bytes:
+        tkhd = box(b"tkhd", bytes(4) + bytes(72)
+                   + struct.pack(">II", w << 16, h << 16))
+        hdlr = box(b"hdlr", bytes(8) + handler + bytes(12) + b"\x00")
+        mdia = box(b"mdia", hdlr)
+        return box(b"trak", tkhd + mdia)
+
+    traks = trak(b"vide", width, height)
+    if with_audio:
+        traks += trak(b"soun", 0, 0)
+    moov = box(b"moov", mvhd + traks)
+    ftyp = box(b"ftyp", brand + struct.pack(">I", 0) + b"isomiso2")
+    return ftyp + moov

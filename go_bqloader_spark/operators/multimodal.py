@@ -221,3 +221,68 @@ def decode_audio_meta(df: DataFrame) -> DataFrame:
     return df.select("url", "warc_ts", "payload").mapInPandas(
         fn, AUDIO_META_SCHEMA
     )
+
+
+VIDEO_META_SCHEMA = (
+    "url string, warc_ts timestamp, mime string, n_bytes int, brand string, "
+    "duration_ms int, width int, height int, n_tracks int, "
+    "has_video boolean, has_audio boolean, sha256 string"
+)
+
+
+def decode_video_meta(df: DataFrame) -> DataFrame:
+    """Video analog of :func:`decode_image_meta`: ISO-BMFF/MP4 containers
+    yield REAL metadata (ftyp brand, mvhd duration, tkhd dimensions,
+    per-track handlers — public ISO/IEC 14496-12 box walk, stdlib only);
+    non-MP4 payloads yield NULL metadata rather than failing the batch.
+    Same plumbing rules as images: payload parsed where it was read,
+    never shuffled; output narrow."""
+    from go_bqloader_spark.operators.mediacodecs import decode_mp4_meta, is_mp4
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in media_batch_iter(batches):
+            metas = []
+            for b in pdf["payload"]:
+                if b is not None and is_mp4(bytes(b)):
+                    try:
+                        metas.append(decode_mp4_meta(bytes(b)))
+                        continue
+                    except ValueError:
+                        pass
+                metas.append(None)
+            yield pd.DataFrame(
+                {
+                    "url": pdf["url"],
+                    "warc_ts": pdf["warc_ts"],
+                    "mime": ["video/mp4" if m else None for m in metas],
+                    "n_bytes": pdf["payload"].map(
+                        lambda b: None if b is None else len(b)
+                    ),
+                    "brand": [m["brand"] if m else None for m in metas],
+                    "duration_ms": [m["duration_ms"] if m else None for m in metas],
+                    "width": [m["width"] if m else None for m in metas],
+                    "height": [m["height"] if m else None for m in metas],
+                    "n_tracks": [m["n_tracks"] if m else None for m in metas],
+                    "has_video": [m["has_video"] if m else None for m in metas],
+                    "has_audio": [m["has_audio"] if m else None for m in metas],
+                    "sha256": pdf["payload"].map(
+                        lambda b: None if b is None else hashlib.sha256(b).hexdigest()
+                    ),
+                }
+            )
+
+    return df.select("url", "warc_ts", "payload").mapInPandas(
+        fn, VIDEO_META_SCHEMA
+    )
+
+
+def sample_video_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Frame sampling requires an H.264/H.265 decoder, absent from this
+    environment — the documented stub (build brief: 'STUB the decode
+    step'). The Spark-side plumbing (schema, batching, partitioning) is
+    the same as :func:`decode_video_meta`, which is real and tested."""
+    raise NotImplementedError(
+        "video frame decode needs an external codec (H.264/H.265) not "
+        "present in this environment; container metadata via "
+        "decode_video_meta is fully implemented"
+    )

@@ -701,6 +701,111 @@ LSH_TOPK_SQL = """
 """
 
 
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k (the second ANN scale path alongside
+    hyperplane LSH): deterministic coarse-quantizer cells (lowest-id
+    corpus vectors stand in for trained k-means centroids — reproducible
+    and oracle-expressible), nearest-cell assignment in one broadcast
+    pass, exact cosine rank within the query's nprobe probed cells."""
+    from go_bqloader_spark.operators.similarity import ivf_topk
+
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = e.filter(F.col("vec_id") >= 3)
+    r = ivf_topk(corpus, q, k=5, n_cells=8, nprobe=2)
+    return r.select(
+        "query_id",
+        "vec_id",
+        # +1e-6 floor guard — same cross-engine rationale as ann_cosine_topk
+        F.floor(F.col("cos_sim") * 10000 + F.lit(1e-6)).alias("cos_sim_e4"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+# DuckDB mirror of q_ivf_topk: same deterministic cells (8 lowest corpus
+# ids), same nearest-cell assignment (cos desc, cell_id tie-break), same
+# nprobe=2 probe set, exact rank within probed cells.
+IVF_TOPK_SQL = """
+    WITH corpus AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 3),
+    cents AS (
+        SELECT vec_id AS cell_id, embedding AS cv
+        FROM corpus ORDER BY vec_id LIMIT 8
+    ),
+    ex AS (
+        SELECT vec_id, unnest(embedding) AS x,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings
+    ),
+    cex AS (
+        SELECT cell_id, unnest(cv) AS x, generate_subscripts(cv, 1) AS i
+        FROM cents
+    ),
+    norms AS (
+        SELECT vec_id, sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS n2
+        FROM ex GROUP BY vec_id
+    ),
+    cnorms AS (
+        SELECT cell_id, sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS n2
+        FROM cex GROUP BY cell_id
+    ),
+    vc AS (  -- cosine of every vector (corpus + query) vs every centroid
+        SELECT e.vec_id, c.cell_id,
+               sum(CAST(e.x AS DOUBLE) * CAST(c.x AS DOUBLE))
+                   / (sqrt(any_value(nv.n2)) * sqrt(any_value(nc.n2))) AS cos
+        FROM ex e
+        JOIN cex c ON c.i = e.i
+        JOIN norms nv ON nv.vec_id = e.vec_id
+        JOIN cnorms nc ON nc.cell_id = c.cell_id
+        GROUP BY e.vec_id, c.cell_id
+    ),
+    assign AS (
+        SELECT vec_id, cell_id FROM (
+            SELECT vec_id, cell_id,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY cos DESC, cell_id) AS rn
+            FROM vc WHERE vec_id >= 3
+        ) WHERE rn = 1
+    ),
+    probes AS (
+        SELECT vec_id AS query_id, cell_id FROM (
+            SELECT vec_id, cell_id,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY cos DESC, cell_id) AS rn
+            FROM vc WHERE vec_id < 3
+        ) WHERE rn <= 2
+    ),
+    cand AS (
+        SELECT p.query_id, a.vec_id
+        FROM probes p JOIN assign a ON a.cell_id = p.cell_id
+    ),
+    dots AS (
+        SELECT cd.query_id, cd.vec_id,
+               sum(CAST(a.x AS DOUBLE) * CAST(b.x AS DOUBLE)) AS dot
+        FROM cand cd
+        JOIN ex a ON a.vec_id = cd.query_id
+        JOIN ex b ON b.vec_id = cd.vec_id AND b.i = a.i
+        GROUP BY cd.query_id, cd.vec_id
+    ),
+    ranked AS (
+        SELECT d.query_id, d.vec_id,
+               d.dot / (sqrt(nq.n2) * sqrt(nc.n2)) AS cos_sim,
+               row_number() OVER (
+                   PARTITION BY d.query_id
+                   ORDER BY d.dot / (sqrt(nq.n2) * sqrt(nc.n2)) DESC, d.vec_id
+               ) AS rank
+        FROM dots d
+        JOIN norms nq ON nq.vec_id = d.query_id
+        JOIN norms nc ON nc.vec_id = d.vec_id
+    )
+    SELECT query_id, vec_id,
+           CAST(floor(cos_sim * 10000 + 1e-6) AS BIGINT) AS cos_sim_e4,
+           CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 5
+"""
+
+
 # ------------------------------------------------ training-data pipeline ops
 _TOKENS = "filter(split(text, ' '), x -> x <> '')"
 _TOKENS_SQL = "list_filter(string_split(text, ' '), x -> x <> '')"
@@ -1461,6 +1566,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "handler_fanout": q_handler_fanout,
     "lazy_quotes": q_lazy_quotes,
     "lsh_topk": q_lsh_topk,
+    "ivf_topk": q_ivf_topk,
     "exact_dedup": q_exact_dedup,
     "doc_fingerprint": q_doc_fingerprint,
     "token_stats": q_token_stats,
@@ -1498,6 +1604,7 @@ ORACLE_SQL: dict[str, str] = {
     "handler_fanout": HANDLER_FANOUT_SQL,
     "lazy_quotes": LAZY_QUOTES_SQL,
     "lsh_topk": LSH_TOPK_SQL,
+    "ivf_topk": IVF_TOPK_SQL,
     "exact_dedup": EXACT_DEDUP_SQL,
     "doc_fingerprint": FINGERPRINT_SQL,
     "token_stats": TOKEN_STATS_SQL,

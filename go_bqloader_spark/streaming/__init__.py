@@ -1,3 +1,7 @@
+from go_bqloader_spark.streaming.dedup import (  # noqa: F401
+    content_fingerprint,
+    dedup_stream,
+)
 from go_bqloader_spark.streaming.pipeline import (  # noqa: F401
     run_cdc_stream,
     start_cdc_stream,

@@ -278,3 +278,63 @@ def test_near_dup_clusters_end_to_end(spark):
     assert out[1] == (1, True) and out[2] == (1, False)
     assert out[4] == (4, True)
     assert len({c for c, _ in out.values()}) >= 2
+
+
+def test_neighbor_window_bounds_candidates_same_clusters(spark):
+    """Sorted-neighborhood candidate capping: pair count is O(size x W)
+    instead of O(size^2) on a mega-bucket, but the CLUSTERS that come out
+    of the component pass are identical for a near-identical family."""
+    from go_bqloader_spark.operators.dedup import (
+        minhash_dedup, minhash_signatures, minhash_candidates,
+        near_dup_clusters,
+    )
+
+    base = ("spark lakehouse change data capture merge upsert tombstone "
+            "snapshot ledger replay watermark bucket salt skew")
+    # one 40-doc duplicate family + unique docs
+    rows = [(i, base) for i in range(40)]
+    rows += [(100 + i, f"unique document number {i} about topic {i * 7}")
+             for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    sig = minhash_signatures(df)
+    exact_pairs = minhash_candidates(sig).count()
+    win_pairs = minhash_candidates(sig, neighbor_window=4).count()
+    assert exact_pairs >= 40 * 39 // 2  # quadratic in the family
+    assert win_pairs <= 4 * 45 * 4      # O(rows x W x bands)
+
+    exact_cl = {(r["doc_id"], r["cluster_id"])
+                for r in near_dup_clusters(df, threshold=0.5).collect()}
+    win_cl = {(r["doc_id"], r["cluster_id"])
+              for r in near_dup_clusters(df, threshold=0.5,
+                                         neighbor_window=4).collect()}
+    assert exact_cl == win_cl  # chaining + components restore the family
+
+    # windowed pair graph still verifies est_jaccard per emitted pair
+    p = minhash_dedup(df, threshold=0.5, neighbor_window=4)
+    assert p.filter(F.col("est_jaccard") < 0.5).count() == 0
+
+
+def test_ivf_topk_recall_and_exact_degeneracy(spark):
+    """IVF ANN: recall rises with nprobe, and nprobe == n_cells probes
+    every cell so the result EQUALS the exact scan."""
+    from go_bqloader_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    exact = {(r["query_id"], r["vec_id"])
+             for r in cosine_topk(corpus, q, k=5).collect()}
+
+    def recall(nprobe):
+        got = {(r["query_id"], r["vec_id"])
+               for r in ivf_topk(corpus, q, k=5, n_cells=8,
+                                 nprobe=nprobe).collect()}
+        return len(exact & got) / len(exact)
+
+    r1, r4, r8 = recall(1), recall(4), recall(8)
+    assert r1 <= r4 <= r8  # monotone in probes
+    assert r8 == 1.0       # all cells probed == exact scan
+    assert r1 > 0.0        # nearest cell already finds some neighbors

@@ -310,3 +310,51 @@ def test_jpeg_through_decode_image_meta(spark):
     assert list(row["feat"]) == pytest.approx(
         channel_stats_features(w, h, ch, px)[:8], abs=1e-6
     )
+
+
+# ----------------------------------------------- MP4 container (round 4)
+def test_mp4_meta_roundtrip_and_edge_boxes():
+    from go_bqloader_spark.operators.mediacodecs import (
+        decode_mp4_meta, is_mp4, write_mp4_skeleton,
+    )
+
+    d = write_mp4_skeleton(1920, 1080, 90000, brand=b"mp42", with_audio=True)
+    assert is_mp4(d)
+    m = decode_mp4_meta(d)
+    assert m == {"brand": "mp42", "duration_ms": 90000, "n_tracks": 2,
+                 "width": 1920, "height": 1080, "has_video": True,
+                 "has_audio": True}
+    # video-only, zero duration
+    m2 = decode_mp4_meta(write_mp4_skeleton(320, 240, 0))
+    assert (m2["width"], m2["height"], m2["has_audio"]) == (320, 240, False)
+    # non-MP4 rejected
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        decode_mp4_meta(b"\x00" * 32)
+
+
+def test_video_meta_mapinpandas_and_frame_stub(spark):
+    from go_bqloader_spark.operators.mediacodecs import write_mp4_skeleton
+    from go_bqloader_spark.operators.multimodal import (
+        decode_video_meta, sample_video_frames,
+    )
+
+    rows = [
+        ("u1", None, bytearray(write_mp4_skeleton(640, 360, 12500,
+                                                  with_audio=True))),
+        ("u2", None, bytearray(b"not a video at all")),
+        ("u3", None, None),  # tombstone
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, payload binary"
+    )
+    out = {r["url"]: r for r in decode_video_meta(df).collect()}
+    assert (out["u1"]["mime"], out["u1"]["width"], out["u1"]["height"],
+            out["u1"]["duration_ms"], out["u1"]["has_audio"]) == (
+        "video/mp4", 640, 360, 12500, True)
+    assert out["u2"]["mime"] is None and out["u2"]["n_bytes"] == 18
+    assert out["u3"]["mime"] is None and out["u3"]["n_bytes"] is None
+    # frame sampling is the documented stub
+    with pytest.raises(NotImplementedError, match="frame decode"):
+        sample_video_frames(df)

@@ -279,3 +279,47 @@ def test_host_extract_handles_bare_host_urls(spark, tmp_path):
         for r in spark.table("bare_host").collect()
     }
     assert got == {"example.com": (2, 2), "other.net": (3, 1)}
+
+
+def test_stream_content_dedup_first_arrival(spark, tmp_path):
+    """dedup_stream drops later content-duplicates (different change keys,
+    same text) inside the watermark, keeps first arrivals, and passes
+    delete events (NULL text) straight through."""
+    import os as _os
+
+    from go_bqloader_spark.streaming import dedup_stream
+
+    src = str(tmp_path / "feed")
+    rows = [
+        ("U", 1, "https://a.ex/p", "2024-01-01 00:00:01", "same content", "en"),
+        ("U", 2, "https://mirror.ex/p", "2024-01-01 00:00:02", "same content", "en"),
+        ("U", 3, "https://b.ex/q", "2024-01-01 00:00:03", "unique content", "en"),
+        ("D", 4, "https://a.ex/p", "2024-01-01 00:00:04", None, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "op string, seq bigint, url string, ts string, text string, lang string"
+    ).select("op", "seq", "url", F.to_timestamp("ts").alias("warc_ts"),
+             "text", "lang")
+    df.repartition(1).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(
+        "op string, seq bigint, url string, warc_ts timestamp, "
+        "text string, lang string"
+    ).parquet(src)
+    out_dir = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    q = (
+        dedup_stream(stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r["url"], r["op"]) for r in spark.read.parquet(out_dir).collect()}
+    assert ("https://a.ex/p", "U") in got        # first arrival kept
+    assert ("https://mirror.ex/p", "U") not in got  # content dup dropped
+    assert ("https://b.ex/q", "U") in got        # unique kept
+    assert ("https://a.ex/p", "D") in got        # tombstone passes through
+    assert _os.path.isdir(ck)
