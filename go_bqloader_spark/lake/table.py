@@ -176,6 +176,14 @@ class LakeTable:
             # per-bucket max applied seq, rolled forward on every merge so
             # resume reads ONE manifest instead of walking the chain
             "watermarks": {},
+            # manifest-level zone maps: per data-file min/max of these
+            # columns, for planning-time file pruning (reading 10^6
+            # parquet FOOTERS to skip files is itself a scan at 100 TB;
+            # the manifest answers without touching storage). Restricted
+            # to KEY columns: every version of a key shares its key
+            # values, so pruning on them can never split a key across
+            # kept/skipped files and MoR LWW resolution stays exact.
+            "zone_cols": [c for c in key],
             "summary": {"operation": "create"},
         }
         t = LakeTable(spark, path, fs=fs)
@@ -345,6 +353,10 @@ class LakeTable:
         structural = {
             "key": [new if k == old else k for k in m["key"]],
             "bucket_col": new if m["bucket_col"] == old else m["bucket_col"],
+            # zone maps follow the rename too: existing entry bounds keyed
+            # by the old name simply stop matching (files keep, never
+            # mis-prune) and new commits record under the new name
+            "zone_cols": [new if c == old else c for c in m.get("zone_cols", [])],
         }
         self._commit_schema(m, fields, f"rename {old} -> {new}", structural)
 
@@ -367,7 +379,63 @@ class LakeTable:
         self._write_manifest(m2, expected_parent=m["version"])
 
     # ---------------------------------------------------------------- read
-    def _read_raw(self, m: dict[str, Any], buckets: list[int] | None) -> DataFrame | None:
+    # ---------------------------------------------------------- zone maps
+    def _zone_cols(self, m: dict[str, Any]) -> list[str]:
+        """Zone columns that exist with an orderable primitive type."""
+        types = {f["name"]: f["type"] for f in self.schema_fields(m)}
+        return [
+            c for c in m.get("zone_cols", [])
+            if types.get(c) in ("string", "bigint", "int", "double", "timestamp", "date")
+        ]
+
+    def _zone_expr(self, m: dict[str, Any], c: str) -> F.Column:
+        types = {f["name"]: f["type"] for f in self.schema_fields(m)}
+        col = F.col(c)
+        # timestamps are stored in the manifest as epoch micros (JSON has
+        # no timestamp type and fixed-width ints compare exactly)
+        return F.unix_micros(col) if types[c] == "timestamp" else col
+
+    def _zone_aggs(self, m: dict[str, Any], zone_cols: list[str]) -> list[F.Column]:
+        aggs: list[F.Column] = []
+        for c in zone_cols:
+            e = self._zone_expr(m, c)
+            aggs.append(F.min(e).alias(f"__zmn_{c}"))
+            aggs.append(F.max(e).alias(f"__zmx_{c}"))
+        return aggs
+
+    @staticmethod
+    def _zones_from_rows(rows, zone_cols: list[str]) -> dict[int, dict[str, list]]:
+        out: dict[int, dict[str, list]] = {}
+        for r in rows:
+            z = {
+                c: [r[f"__zmn_{c}"], r[f"__zmx_{c}"]]
+                for c in zone_cols
+                if r[f"__zmn_{c}"] is not None
+            }
+            if z:
+                out[int(r["b"])] = z
+        return out
+
+    @staticmethod
+    def _zone_overlaps(entry: dict[str, Any], zones: dict[str, tuple]) -> bool:
+        """Can this data file contain a row inside every requested range?
+        Missing bounds (legacy entries, all-null columns) keep the file —
+        pruning is only ever an optimization, never a correctness filter."""
+        ez = entry.get("zones") or {}
+        for c, (lo, hi) in zones.items():
+            if c not in ez:
+                continue
+            zmn, zmx = ez[c]
+            if (hi is not None and zmn > hi) or (lo is not None and zmx < lo):
+                return False
+        return True
+
+    def _read_raw(
+        self,
+        m: dict[str, Any],
+        buckets: list[int] | None,
+        zones: dict[str, tuple] | None = None,
+    ) -> DataFrame | None:
         """Union all data files (schema-reconciled), no LWW resolution."""
         current = self.schema_fields(m)
         groups: dict[str, list[str]] = {}
@@ -375,6 +443,8 @@ class LakeTable:
             if buckets is not None and int(b) not in buckets:
                 continue
             for e in entries:
+                if zones and not self._zone_overlaps(e, zones):
+                    continue
                 groups.setdefault(str(e["schema_version"]), []).append(
                     os.path.join(self.path, e["path"])
                 )
@@ -409,15 +479,44 @@ class LakeTable:
         version: int | None = None,
         buckets: list[int] | None = None,
         include_deleted: bool = False,
+        zones: dict[str, tuple] | None = None,
     ) -> DataFrame:
         """Read a snapshot. In mor mode, base+delta files are resolved with
         one LWW window (skipped automatically when every bucket has a
-        single base entry). Tombstones are hidden unless requested."""
+        single base entry). Tombstones are hidden unless requested.
+
+        ``zones={"col": (lo, hi)}`` restricts the read to rows whose KEY
+        column falls in [lo, hi] (either bound may be None), pruning data
+        files by manifest zone maps BEFORE any storage access — at 10^6
+        files this skips both the listing and the parquet footer reads
+        that engine-side pushdown would still pay. Timestamp columns take
+        epoch-micros ints. Only key columns are allowed: all versions of
+        a key share its key values, so a file either holds every surviving
+        version of an in-range key or none of it, and MoR LWW resolution
+        over the kept files is exact. The same range is re-applied as a
+        row filter post-resolution, so the result is exactly the filtered
+        table, not a superset."""
         m = self.manifest(version)
-        raw = self._read_raw(m, buckets)
+        if zones:
+            zc = set(self._zone_cols(m))
+            bad = [c for c in zones if c not in zc]
+            if bad:
+                raise ValueError(
+                    f"zones only prune key columns {sorted(zc)}; got {bad} "
+                    "(non-key pruning would split keys across kept/skipped "
+                    "files and break LWW resolution)"
+                )
+        raw = self._read_raw(m, buckets, zones)
         if raw is None:
             empty = self.spark.createDataFrame([], self.spark_schema(m))
             return empty if include_deleted else empty.drop(DELETED_COL)
+        if zones:
+            for c, (lo, hi) in zones.items():
+                e = self._zone_expr(m, c)
+                if lo is not None:
+                    raw = raw.filter(e >= lo)
+                if hi is not None:
+                    raw = raw.filter(e <= hi)
         if self._needs_resolve(m, buckets):
             w = W.partitionBy(*m["key"]).orderBy(F.col(SEQ_COL).desc())
             raw = (
@@ -642,6 +741,8 @@ class LakeTable:
         rel = os.path.join("data", f"c{m['version'] + 1:08d}_{commit_id}")
         out_dir = os.path.join(self.path, rel)
 
+        zone_cols = self._zone_cols(m)
+        zones: dict[int, dict[str, list]] = {}
         obs = None
         if stats_rows is None and m["n_buckets"] <= self._OBS_MAX_BUCKETS:
             from pyspark.sql import Observation
@@ -674,7 +775,21 @@ class LakeTable:
                     if vals[f"n{b}"]
                 ]
             else:
-                back = self.spark.read.parquet(out_dir).select("b", SEQ_COL, DELETED_COL)
+                # one narrow column-pruned read-back computes the lineage
+                # stats AND the zone-map bounds (same pass, same files)
+                back = self.spark.read.parquet(out_dir).select(
+                    "b", SEQ_COL, DELETED_COL, *zone_cols
+                )
+                collected = (
+                    back.groupBy("b")
+                    .agg(
+                        F.max(SEQ_COL).alias("applied_max_seq"),
+                        F.count(F.lit(1)).alias("n"),
+                        F.sum(F.col(DELETED_COL).cast("long")).alias("rows_deleted"),
+                        *self._zone_aggs(m, zone_cols),
+                    )
+                    .collect()
+                )
                 stats_rows = [
                     (
                         int(r["b"]),
@@ -682,18 +797,23 @@ class LakeTable:
                         r["n"] - r["rows_deleted"],
                         r["rows_deleted"],
                     )
-                    for r in back.groupBy("b")
-                    .agg(
-                        F.max(SEQ_COL).alias("applied_max_seq"),
-                        F.count(F.lit(1)).alias("n"),
-                        F.sum(F.col(DELETED_COL).cast("long")).alias("rows_deleted"),
-                    )
-                    .collect()
+                    for r in collected
                 ]
+                zones = self._zones_from_rows(collected, zone_cols)
         if affected is None:
             affected = sorted(written)
         if not written and not affected:
             return self._commit_noop(m, batch_key)
+        if not zones and zone_cols and written:
+            # cow / Observation paths: dedicated narrow zone read-back
+            rows = (
+                self.spark.read.parquet(out_dir)
+                .select("b", *zone_cols)
+                .groupBy("b")
+                .agg(*self._zone_aggs(m, zone_cols))
+                .collect()
+            )
+            zones = self._zones_from_rows(rows, zone_cols)
 
         rows_upserted = sum(r[2] for r in stats_rows)
         rows_deleted = sum(r[3] for r in stats_rows)
@@ -705,6 +825,8 @@ class LakeTable:
                 new_buckets.pop(str(b), None)
         for b in sorted(written):
             entry = {"path": os.path.join(rel, f"b={b}"), "schema_version": m["schema_version"]}
+            if b in zones:
+                entry["zones"] = zones[b]
             new_buckets.setdefault(str(b), []).append(entry)
 
         ledger, floors = self._advance_ledger(m, batch_key, max_seq)
@@ -800,13 +922,25 @@ class LakeTable:
         written = {
             int(d.split("=", 1)[1]) for d in self.fs.listdir(out_dir) if d.startswith("b=")
         }
+        zone_cols = self._zone_cols(m)
+        zones: dict[int, dict[str, list]] = {}
+        if zone_cols and written:
+            rows = (
+                self.spark.read.parquet(out_dir)
+                .select("b", *zone_cols)
+                .groupBy("b")
+                .agg(*self._zone_aggs(m, zone_cols))
+                .collect()
+            )
+            zones = self._zones_from_rows(rows, zone_cols)
         new_buckets = {b: list(entries) for b, entries in m["buckets"].items()}
         for b in targets:
             new_buckets.pop(str(b), None)
         for b in sorted(written):
-            new_buckets[str(b)] = [
-                {"path": os.path.join(rel, f"b={b}"), "schema_version": m["schema_version"]}
-            ]
+            entry = {"path": os.path.join(rel, f"b={b}"), "schema_version": m["schema_version"]}
+            if b in zones:
+                entry["zones"] = zones[b]
+            new_buckets[str(b)] = [entry]
         m2 = dict(
             m,
             version=m["version"] + 1,
@@ -845,6 +979,27 @@ class LakeTable:
         O(1): read from the rolled-forward map in the LATEST manifest (no
         chain walk — bounded regardless of commit count)."""
         return {int(b): s for b, s in self.manifest().get("watermarks", {}).items()}
+
+    def read_changes_since(
+        self, seq: int, include_deleted: bool = True
+    ) -> DataFrame:
+        """Downstream-consumer incremental read: current SURVIVOR rows
+        whose last applied change is newer than ``seq`` (exclusive) —
+        i.e. "what changed since my checkpoint", tombstones included by
+        default so consumers can propagate deletes. Resolution runs
+        BEFORE the seq filter (a row whose key was later re-updated shows
+        its latest state once, not every intermediate version). Buckets
+        whose manifest watermark is <= ``seq`` are pruned without any
+        storage access — an idle consumer on a mostly-cold table reads
+        nothing but the manifest."""
+        wms = self.resume_watermarks()
+        hot = [b for b, mx in wms.items() if mx > seq]
+        if not hot:
+            m = self.manifest()
+            empty = self.spark.createDataFrame([], self.spark_schema(m))
+            return empty if include_deleted else empty.drop(DELETED_COL)
+        out = self.read(buckets=hot, include_deleted=include_deleted)
+        return out.filter(F.col(SEQ_COL) > seq)
 
     # --------------------------------------------------------------- expiry
     def expire_snapshots(self, keep_n: int = 10) -> dict[str, int]:

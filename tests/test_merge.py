@@ -576,3 +576,101 @@ def test_near_dup_rewrite_maintenance(spark, tmp_path, mode):
     # a fresh pass over the already-deduped table finds nothing to remove
     rep3 = near_dup_rewrite(t, threshold=0.5, batch_id=1)
     assert rep3.removed == 0
+
+
+@pytest.mark.parametrize("mode", MODES)
+def test_zone_maps_prune_and_stay_exact(spark, tmp_path, mode):
+    """Manifest zone maps: every data-file entry records key-column
+    min/max; read(zones=...) skips non-overlapping files at PLANNING time
+    and still returns exactly the filtered table (MoR LWW resolution
+    included, because zones are restricted to key columns)."""
+    import datetime as dt
+
+    t = _make_table(spark, tmp_path, n_buckets=2, write_mode=mode)
+
+    def batch(day, seq0):
+        ts = f"2024-01-{day:02d} 00:00:00"
+        rows = [("U", seq0 + j, f"https://h{j}.ex/p", ts, None, f"d{day}", "en")
+                for j in range(4)]
+        return spark.createDataFrame(
+            rows,
+            "op string, seq bigint, url string, warc_ts string, "
+            "html binary, text string, lang string",
+        ).withColumn("warc_ts", F.to_timestamp("warc_ts"))
+
+    t.merge(batch(1, 0), batch_key=("q", 0))
+    t.merge(batch(15, 100), batch_key=("q", 1))
+    t.merge(batch(1, 200), batch_key=("q", 2))  # day-1 keys updated later
+
+    # every entry carries zone bounds for both key columns
+    m = t.manifest()
+    entries = [e for es in m["buckets"].values() for e in es]
+    assert entries and all("zones" in e for e in entries)
+    assert all(set(e["zones"]) == {"url", "warc_ts"} for e in entries)
+
+    def micros(day):
+        return int(dt.datetime(2024, 1, day, tzinfo=dt.timezone.utc)
+                   .timestamp() * 1_000_000)
+
+    # MoR keeps per-commit delta files, so the day-15 range must skip the
+    # two day-1 commits' files; CoW's bucket-wide rewrites span both days
+    # (file = bucket), so nothing prunes there — by design
+    kept = [
+        e for es in m["buckets"].values() for e in es
+        if t._zone_overlaps(e, {"warc_ts": (micros(10), micros(20))})
+    ]
+    if mode == "mor":
+        assert 0 < len(kept) < len(entries)
+    else:
+        assert len(kept) == len(entries)
+
+    # pruned read == full read + filter (exact, incl. LWW winners)
+    full = {(r["url"], str(r["warc_ts"]), r["text"], r["_seq"])
+            for r in t.read().filter(F.col("warc_ts") >= "2024-01-10").collect()}
+    pruned = {(r["url"], str(r["warc_ts"]), r["text"], r["_seq"])
+              for r in t.read(zones={"warc_ts": (micros(10), None)}).collect()}
+    assert pruned == full and len(pruned) == 4
+
+    # day-1 keys resolve to their LATEST update even under pruning
+    d1 = {r["text"] for r in t.read(zones={"warc_ts": (None, micros(10))}).collect()}
+    assert d1 == {"d1"} and t.read(
+        zones={"warc_ts": (None, micros(10))}
+    ).filter(F.col("_seq") < 200).count() == 0
+
+    # non-key columns are rejected (would break MoR resolution)
+    with pytest.raises(ValueError, match="key columns"):
+        t.read(zones={"text": (0, 1)})
+
+
+def test_read_changes_since_incremental(spark, tmp_path):
+    """Incremental consumer API: rows whose latest applied change is newer
+    than the checkpoint, tombstones included; cold buckets pruned via the
+    manifest watermark (no storage reads when nothing changed)."""
+    t = _make_table(spark, tmp_path, n_buckets=4)
+    b0 = spark.createDataFrame(
+        [("U", 1, "https://a/x", None, None, "v1", "en"),
+         ("U", 2, "https://b/y", None, None, "w1", "en")],
+        "op string, seq bigint, url string, warc_ts timestamp, "
+        "html binary, text string, lang string",
+    )
+    t.merge(b0, batch_key=("q", 0))
+    ckpt = max(t.resume_watermarks().values())
+    b1 = spark.createDataFrame(
+        [("U", 10, "https://a/x", None, None, "v2", "en"),   # update
+         ("D", 11, "https://b/y", None, None, None, None),   # delete
+         ("I", 12, "https://c/z", None, None, "new", "en")], # insert
+        "op string, seq bigint, url string, warc_ts timestamp, "
+        "html binary, text string, lang string",
+    )
+    t.merge(b1, batch_key=("q", 1))
+
+    got = {(r["url"], r["text"], r["_deleted"], r["_seq"])
+           for r in t.read_changes_since(ckpt).collect()}
+    assert got == {
+        ("https://a/x", "v2", False, 10),   # latest state once, not v1
+        ("https://b/y", None, True, 11),    # tombstone propagates
+        ("https://c/z", "new", False, 12),
+    }
+    # consumer fully caught up → nothing, and no data files touched
+    assert t.read_changes_since(12).count() == 0
+    assert t.read_changes_since(12).collect() == []
