@@ -80,6 +80,8 @@ _DDL_TO_SPARK = {
     "bigint": T.LongType(),
     "int": T.IntegerType(),
     "double": T.DoubleType(),
+    "float": T.FloatType(),
+    "date": T.DateType(),
     "boolean": T.BooleanType(),
 }
 
@@ -331,6 +333,47 @@ class LakeTable:
         fields.insert(len(fields) - 2, {"id": new_id, "name": name, "type": ddl_type})
         self._commit_schema(m, fields, f"add column {name} {ddl_type}")
 
+    # lossless promotions only (Iceberg's type-evolution matrix): every
+    # value representable in the old type is exactly representable in the
+    # new one, so old files reconcile with a cast and no rewrite
+    _WIDENINGS = {
+        ("int", "bigint"),
+        ("int", "double"),
+        ("float", "double"),
+        ("date", "timestamp"),
+    }
+
+    def widen_column(self, name: str, new_type: str) -> None:
+        """Widen a column's type in place (metadata-only — no data files
+        rewritten; readers cast old files up on reconcile). Only the
+        lossless promotions in ``_WIDENINGS`` are allowed; key/bucket
+        columns may widen too (bucket hashing runs on the read-side cast
+        value, which is unchanged by a lossless promotion... except
+        int→double for a BUCKET column, which is rejected: xxhash64 of a
+        double differs from the int's hash and rows would change bucket)."""
+        m = self.manifest()
+        fields = [dict(f) for f in self.schema_fields(m)]
+        for f in fields:
+            if f["name"] == name:
+                if name in (SEQ_COL, DELETED_COL):
+                    raise ValueError(f"cannot widen engine column {name}")
+                if (f["type"], new_type) not in self._WIDENINGS:
+                    raise ValueError(
+                        f"unsupported widening {f['type']} -> {new_type}; "
+                        f"allowed: {sorted(self._WIDENINGS)}"
+                    )
+                if m["bucket_col"] == name and f["type"] != new_type and \
+                        new_type in ("double",):
+                    raise ValueError(
+                        "cannot widen the bucket column to a floating type "
+                        "(bucket hash of the cast value would move rows)"
+                    )
+                f["type"] = new_type
+                break
+        else:
+            raise ValueError(f"no column {name}")
+        self._commit_schema(m, fields, f"widen {name} -> {new_type}")
+
     def rename_column(self, old: str, new: str) -> None:
         """Rename a column. Engine columns are immutable; renaming a key or
         bucket column atomically rewrites ``key``/``bucket_col`` in the
@@ -458,7 +501,13 @@ class LakeTable:
             for f in current:
                 old = file_fields.get(f["id"])
                 if old is not None:
-                    cols.append(F.col(old["name"]).alias(f["name"]))
+                    c = F.col(old["name"])
+                    if old["type"] != f["type"]:
+                        # type widening (widen_column): old files cast up
+                        # to the current type on read — lossless by the
+                        # _WIDENINGS contract, no file rewrite
+                        c = c.cast(_spark_type(f["type"]))
+                    cols.append(c.alias(f["name"]))
                 else:
                     cols.append(F.lit(None).cast(_spark_type(f["type"])).alias(f["name"]))
             parts.append(df.select(*cols))

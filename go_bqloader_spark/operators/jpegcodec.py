@@ -101,13 +101,27 @@ class _BitReader:
         return v
 
     def sync_restart(self) -> None:
-        """Consume an RSTn marker and realign to the next byte."""
-        # drop pending bits (they are padding before the marker)
+        """Consume an RSTn marker and realign to the next byte.
+
+        Buffered-but-unhanded bits are always pre-marker padding (the
+        filler stops consuming at any marker), so they are dropped;
+        remaining padding BYTES before the marker (including a stuffed
+        0xFF00 produced by an all-ones padded byte) are skipped."""
         self.bits = 0
         self.nbits = 0
-        assert self.marker is not None and 0xD0 <= self.marker <= 0xD7
-        self.pos += 2  # the FF Dn bytes
         self.marker = None
+        d = self.data
+        while True:
+            if d[self.pos] == 0xFF:
+                nxt = d[self.pos + 1]
+                if 0xD0 <= nxt <= 0xD7:
+                    self.pos += 2
+                    return
+                if nxt == 0x00:  # stuffed padding byte
+                    self.pos += 2
+                    continue
+                raise ValueError(f"expected RSTn, found marker {nxt:#x}")
+            self.pos += 1  # non-FF padding byte
 
 
 def _build_huff(counts: list[int], symbols: bytes) -> dict[tuple[int, int], int]:
@@ -338,10 +352,15 @@ def _mag_cat(v: int) -> int:
 def encode_jpeg(
     width: int, height: int, channels: int, pixels: bytes,
     subsample: tuple[int, int] = (1, 1),
+    restart_interval: int = 0,
 ) -> bytes:
     """Fixture-grade baseline JPEG: flat quant=1 (near-lossless — only DCT
     rounding), fixed 9-bit canonical Huffman tables, 4:4:4 by default or
-    4:2:0 via ``subsample=(2, 2)`` (chroma averaged). ``channels`` 1 or 3."""
+    4:2:0 via ``subsample=(2, 2)`` (chroma averaged). ``channels`` 1 or 3.
+    ``restart_interval=N`` emits a DRI segment and RSTn markers every N
+    MCUs (DC predictors reset, bitstream byte-aligned) — exercises the
+    decoder's restart path, and is what real encoders emit for error
+    resilience."""
     if channels not in (1, 3):
         raise ValueError("channels must be 1 (gray) or 3 (RGB)")
     img = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width, channels)
@@ -382,6 +401,8 @@ def encode_jpeg(
     out += _seg(0xC0, sof)
     out += _seg(0xC4, bytes([0x00]) + bytes(dc_counts) + dc_vals)
     out += _seg(0xC4, bytes([0x10]) + bytes(ac_counts) + ac_vals)
+    if restart_interval:
+        out += _seg(0xDD, struct.pack(">H", restart_interval))
     sos = bytes([nc]) + b"".join(
         struct.pack(">BB", ci + 1, 0x00) for ci in range(nc)
     ) + bytes([0, 63, 0])
@@ -391,8 +412,18 @@ def encode_jpeg(
     pred = [0] * nc
     mcux = (width + 8 * hmax - 1) // (8 * hmax)
     mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+    mcu_count = 0
+    rst = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                # byte-align (flush pads with 1s), emit RSTn, reset DC
+                out += bw.flush()
+                bw = _BitWriter()
+                out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                pred = [0] * nc
+            mcu_count += 1
             for ci in range(nc):
                 ch, cv = hv[ci] if ci == 0 else (1, 1)
                 p = planes[ci]

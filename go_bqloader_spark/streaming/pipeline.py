@@ -43,13 +43,23 @@ def start_cdc_stream(
     compact_every: int = 16,
     expire_keep: int | None = 64,
     schema: str = CHANGE_SCHEMA,
+    stream_transform: Callable[[DataFrame], DataFrame] | None = None,
 ) -> StreamingQuery:
-    """Start the streaming apply; returns the StreamingQuery handle."""
+    """Start the streaming apply; returns the StreamingQuery handle.
+
+    ``projector`` runs per micro-batch inside ``foreachBatch`` (the
+    reference's per-table Projector analog); ``stream_transform`` runs on
+    the STREAMING frame before the sink — the hook for stateful stream
+    operators like :func:`~go_bqloader_spark.streaming.dedup.dedup_stream`
+    (ingest-time content dedup), whose watermark/state machinery must live
+    upstream of ``foreachBatch``."""
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(binlog_dir)
     )
+    if stream_transform is not None:
+        stream = stream_transform(stream)
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         if projector is not None:

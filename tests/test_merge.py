@@ -674,3 +674,39 @@ def test_read_changes_since_incremental(spark, tmp_path):
     # consumer fully caught up → nothing, and no data files touched
     assert t.read_changes_since(12).count() == 0
     assert t.read_changes_since(12).collect() == []
+
+
+def test_widen_column_metadata_only(spark, tmp_path):
+    """Type widening (int -> bigint): metadata-only commit; old files cast
+    up on read, merges with the widened type land, LWW resolution spans
+    files written under both types."""
+    t = LakeTable.create(
+        spark, str(tmp_path / "tbl"),
+        [("url", "string"), ("warc_ts", "timestamp"), ("hits", "int")],
+        key=["url", "warc_ts"], n_buckets=4,
+    )
+    b0 = spark.createDataFrame(
+        [("U", 1, "https://a/x", None, 7), ("U", 2, "https://b/y", None, 9)],
+        "op string, seq bigint, url string, warc_ts timestamp, hits int",
+    )
+    t.merge(b0, batch_key=("q", 0))
+    v_before = t.current_version()
+    t.widen_column("hits", "bigint")
+    assert t.current_version() == v_before + 1  # one metadata commit
+    # post-widen merge writes bigints, including a value beyond int range
+    big = 3_000_000_000
+    b1 = spark.createDataFrame(
+        [("U", 10, "https://a/x", None, big)],
+        "op string, seq bigint, url string, warc_ts timestamp, hits bigint",
+    )
+    t.merge(b1, batch_key=("q", 1))
+    got = {r["url"]: (r["hits"], r["_seq"]) for r in t.read().collect()}
+    assert got == {"https://a/x": (big, 10), "https://b/y": (9, 2)}
+    assert dict(t.read().dtypes)["hits"] == "bigint"
+    # guardrails
+    with pytest.raises(ValueError, match="unsupported widening"):
+        t.widen_column("url", "bigint")
+    with pytest.raises(ValueError, match="no column"):
+        t.widen_column("nope", "bigint")
+    with pytest.raises(ValueError, match="engine column"):
+        t.widen_column("_seq", "bigint")

@@ -358,3 +358,31 @@ def test_video_meta_mapinpandas_and_frame_stub(spark):
     # frame sampling is the documented stub
     with pytest.raises(NotImplementedError, match="frame decode"):
         sample_video_frames(df)
+
+
+def test_jpeg_restart_markers_roundtrip():
+    """DRI/RSTn path: encoder emits restart markers every 2 MCUs (DC
+    predictors reset, byte-aligned); decoder resynchronizes and the image
+    still roundtrips near-losslessly."""
+    import numpy as np
+
+    from go_bqloader_spark.operators.jpegcodec import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(13)
+    w, h = 40, 24  # 5x3 = 15 MCUs at 4:4:4 → 7 RST markers
+    img = rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+    data = encode_jpeg(w, h, 3, img.tobytes(), restart_interval=2)
+    assert b"\xff\xdd" in data          # DRI present
+    assert any(bytes([0xFF, 0xD0 + i]) in data for i in range(8))  # RSTn
+    dw, dh, ch, px = decode_jpeg(data)
+    assert (dw, dh, ch) == (w, h, 3)
+    out = np.frombuffer(px, np.uint8).reshape(h, w, 3)
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 2
+    # and combined with 4:2:0 subsampling (multi-block MCUs)
+    base = rng.integers(0, 255, (h, w), dtype=np.uint8)
+    gray3 = np.stack([base] * 3, axis=2)
+    d2 = encode_jpeg(w, h, 3, gray3.tobytes(), subsample=(2, 2),
+                     restart_interval=3)
+    dw, dh, ch, px = decode_jpeg(d2)
+    out = np.frombuffer(px, np.uint8).reshape(h, w, 3)
+    assert np.abs(out.astype(int) - gray3.astype(int)).mean() < 3.0

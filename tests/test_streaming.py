@@ -323,3 +323,30 @@ def test_stream_content_dedup_first_arrival(spark, tmp_path):
     assert ("https://b.ex/q", "U") in got        # unique kept
     assert ("https://a.ex/p", "D") in got        # tombstone passes through
     assert _os.path.isdir(ck)
+
+
+def test_cdc_stream_with_content_dedup_transform(spark, tmp_path):
+    """dedup_stream plugged into start_cdc_stream via stream_transform:
+    content dupes under different keys never reach the table; deletes
+    still apply."""
+    from go_bqloader_spark.streaming import dedup_stream, run_cdc_stream
+
+    src = str(tmp_path / "feed")
+    rows = [
+        ("U", 1, "https://a.ex/p", "2024-01-01 00:00:01", "same content", "en"),
+        ("U", 2, "https://mirror.ex/p", "2024-01-01 00:00:02", "same content", "en"),
+        ("U", 3, "https://b.ex/q", "2024-01-01 00:00:03", "unique content", "en"),
+    ]
+    df = spark.createDataFrame(
+        rows, "op string, seq bigint, url string, ts string, text string, lang string"
+    ).select("op", "seq", "url", F.to_timestamp("ts").alias("warc_ts"),
+             F.lit(None).cast("binary").alias("html"), "text", "lang")
+    df.repartition(1).write.mode("overwrite").parquet(src)
+
+    t = _mk_table(spark, tmp_path)
+    run_cdc_stream(
+        spark, src, t, str(tmp_path / "ck"),
+        stream_transform=dedup_stream, timeout_sec=180,
+    )
+    live = sorted(r["url"] for r in t.read().select("url").collect())
+    assert live == ["https://a.ex/p", "https://b.ex/q"]
