@@ -1001,6 +1001,67 @@ class LakeTable:
         self._write_manifest(m2, expected_parent=m["version"])
         return len(targets)
 
+    def rebucket(self, n_buckets: int) -> int:
+        """Partition evolution: change the bucket count in ONE atomic
+        commit (full rewrite — bucket membership is ``pmod(xxhash64(url),
+        n)``, so every row can move). Re-derives the per-bucket watermark
+        map under the new bucketing in the same narrow pass that computes
+        the new lineage stats, so ``resume_watermarks()`` stays O(1) and
+        correct across the evolution. Use when the table outgrows its
+        bucket count (hot buckets, oversized files) — the CDC analog of
+        Iceberg's partition-spec evolution, except eager: this format
+        addresses files THROUGH bucket ids, so lazy multi-spec reads
+        would put a spec-dispatch on every read; a one-time rewrite keeps
+        the read path single-spec."""
+        m = self.manifest()
+        if n_buckets == m["n_buckets"]:
+            return 0
+        resolved = self.read(include_deleted=True)
+        m_new = dict(m, n_buckets=n_buckets)
+        rows = resolved.withColumn("b", self._bucket_expr(m_new))
+
+        commit_id = uuid.uuid4().hex[:12]
+        rel = os.path.join("data", f"c{m['version'] + 1:08d}_{commit_id}_rebucket")
+        out_dir = os.path.join(self.path, rel)
+        (
+            rows.repartition(max(n_buckets, 1), F.col("b"))
+            .write.partitionBy("b")
+            .mode("overwrite")
+            .parquet(out_dir)
+        )
+        written = {
+            int(d.split("=", 1)[1])
+            for d in self.fs.listdir(out_dir)
+            if d.startswith("b=")
+        }
+        zone_cols = self._zone_cols(m)
+        back = (
+            self.spark.read.parquet(out_dir)
+            .select("b", SEQ_COL, *zone_cols)
+            .groupBy("b")
+            .agg(F.max(SEQ_COL).alias("__wm"), *self._zone_aggs(m, zone_cols))
+            .collect()
+        )
+        zones = self._zones_from_rows(back, zone_cols)
+        new_buckets: dict[str, list] = {}
+        for b in sorted(written):
+            entry = {"path": os.path.join(rel, f"b={b}"), "schema_version": m["schema_version"]}
+            if b in zones:
+                entry["zones"] = zones[b]
+            new_buckets[str(b)] = [entry]
+        m2 = dict(
+            m,
+            version=m["version"] + 1,
+            parent=m["version"],
+            n_buckets=n_buckets,
+            buckets=new_buckets,
+            watermarks={str(int(r["b"])): r["__wm"] for r in back},
+            metrics=[],
+            summary={"operation": "rebucket", "n_buckets": n_buckets},
+        )
+        self._write_manifest(m2, expected_parent=m["version"])
+        return len(written)
+
     # -------------------------------------------------------------- metrics
     _METRICS_SCHEMA = (
         "commit_version bigint, query_id string, batch_id bigint, bucket int, "

@@ -710,3 +710,28 @@ def test_widen_column_metadata_only(spark, tmp_path):
         t.widen_column("nope", "bigint")
     with pytest.raises(ValueError, match="engine column"):
         t.widen_column("_seq", "bigint")
+
+
+def test_rebucket_partition_evolution(spark, tmp_path, changes):
+    """rebucket(N): one atomic rewrite commit; state identical before and
+    after, merges keep landing under the new bucketing, watermarks
+    re-derived per new bucket, time travel still reads the old layout."""
+    t = _make_table(spark, tmp_path, n_buckets=4)
+    b0 = changes.filter(F.col("seq") < 2000)
+    t.merge(b0, batch_key=("q", 0))
+    before = _sorted_state(t.read())
+    v_old = t.current_version()
+
+    moved = t.rebucket(16)
+    assert moved > 4  # rows spread over more buckets now
+    assert t.manifest()["n_buckets"] == 16
+    assert _sorted_state(t.read()) == before          # state unchanged
+    assert _sorted_state(t.read(version=v_old)) == before  # time travel ok
+    wms = t.resume_watermarks()
+    assert wms and max(wms.values()) == max(r[-1] for r in before)
+
+    # merges continue under the new bucketing and converge
+    t.merge(changes.filter(F.col("seq") >= 2000), batch_key=("q", 1))
+    got = _sorted_state(t.read())
+    exp = _sorted_state(expected_final_state(changes))
+    assert got == exp
