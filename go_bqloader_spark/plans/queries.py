@@ -1383,6 +1383,82 @@ VOCAB_SQL = f"""
 """
 
 
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch over the corpus
+    vocabulary — the mergeable cardinality sketch whose estimate is a
+    PURE function of the value multiset: hash every distinct token,
+    keep the k smallest hashes, estimate = (k-1) / h_(k) with hashes
+    normalized to (0,1). Unlike HLL (whose register layout differs per
+    engine), the md5-derived KMV is bit-identical in Spark and DuckDB,
+    so the APPROXIMATE answer itself is oracle-checked — the sketch the
+    engine would broadcast per partition and merge (union the minheaps,
+    re-take k smallest) for 10^10-scale distinct counts.
+
+    The sketched domain is DISTINCT DOCUMENT CONTENT (normalized-text
+    fingerprints) — "how many unique documents does this corpus hold" is
+    the question a dedup pass answers after the fact; KMV answers it in
+    one cheap pass first (and, unlike the tiny synthetic token vocab,
+    its cardinality exceeds k at every SF, so the ESTIMATION path is
+    what gets verified, not the exact-fallback).
+
+    Output: k, the exact distinct count, the KMV estimate (scaled e2),
+    and the relative error in e4 — all BIGINT for hash stability."""
+    k = 256
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        F.md5(F.lower(F.trim(F.col("text")))).alias("tok")
+    ).distinct()
+    # 52-bit prefix of md5 (13 hex chars), normalized to (0,1): <= 2^52
+    # is EXACTLY representable in double, so both engines compute the
+    # identical fraction with zero parse-rounding
+    h = (
+        F.conv(F.substring(F.md5("tok"), 1, 13), 16, 10).cast("double")
+        / F.lit(float(1 << 52))
+    )
+    kth = (
+        toks.select(h.alias("h"))
+        .orderBy("h")
+        .limit(k)
+        .agg(F.max("h").alias("hk"), F.count(F.lit(1)).alias("n"))
+    )
+    exact = toks.count()
+    row = kth.collect()[0]
+    n, hk = int(row["n"]), float(row["hk"])
+    est = (n - 1) / hk if n >= k else float(n)  # exact when corpus < k
+    err_e4 = int(abs(est - exact) / exact * 10000) if exact else 0
+    return spark.createDataFrame(
+        [(k, exact, int(est * 100), err_e4)],
+        "k bigint, exact_distinct bigint, kmv_estimate_e2 bigint, rel_err_e4 bigint",
+    )
+
+
+KMV_SQL = """
+    WITH toks AS (
+        SELECT DISTINCT md5(lower(trim(text))) AS tok FROM documents
+    ),
+    h AS (
+        SELECT CAST(concat('0x', substr(md5(tok), 1, 13)) AS BIGINT)
+               / CAST(4503599627370496 AS DOUBLE) AS h
+        FROM toks
+    ),
+    kth AS (
+        SELECT max(h) AS hk, count(*) AS n
+        FROM (SELECT h FROM h ORDER BY h LIMIT 256)
+    ),
+    ex AS (SELECT count(*) AS exact FROM toks)
+    SELECT CAST(256 AS BIGINT) AS k,
+           CAST(ex.exact AS BIGINT) AS exact_distinct,
+           -- floor, not round: Python's int() / Spark's int cast truncate
+           CAST(floor((CASE WHEN kth.n >= 256 THEN (kth.n - 1) / kth.hk
+                            ELSE CAST(kth.n AS DOUBLE) END) * 100)
+                AS BIGINT) AS kmv_estimate_e2,
+           CAST(floor(abs((CASE WHEN kth.n >= 256 THEN (kth.n - 1) / kth.hk
+                                ELSE CAST(kth.n AS DOUBLE) END) - ex.exact)
+                      / ex.exact * 10000) AS BIGINT) AS rel_err_e4
+    FROM kth, ex
+"""
+
+
 def q_windowed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling event-time windows (the streaming metrics aggregation of
     streaming/windows.py, run in batch mode for oracle checkability)."""
@@ -1579,6 +1655,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_near_dup": q_embedding_near_dup,
     "bpe_token_stats": q_bpe_token_stats,
     "vocab_topk": q_vocab_topk,
+    "kmv_distinct": q_kmv_distinct,
     "windowed_metrics": q_windowed_metrics,
     "sessionize": q_sessionize,
     "heavy_hitters": q_heavy_hitters,
@@ -1617,6 +1694,7 @@ ORACLE_SQL: dict[str, str] = {
     "embedding_near_dup": EMB_NEAR_DUP_SQL,
     "bpe_token_stats": BPE_TOKEN_SQL,
     "vocab_topk": VOCAB_SQL,
+    "kmv_distinct": KMV_SQL,
     "windowed_metrics": WINDOWED_SQL,
     "sessionize": SESSIONIZE_SQL,
     "heavy_hitters": HEAVY_SQL,
