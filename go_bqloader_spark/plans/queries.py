@@ -1415,20 +1415,28 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.conv(F.substring(F.md5("tok"), 1, 13), 16, 10).cast("double")
         / F.lit(float(1 << 52))
     )
+    # the whole sketch is ONE plan (TakeOrdered k → 1-row agg, broadcast
+    # cross-joined with the exact count) — no driver-side math/collect
     kth = (
         toks.select(h.alias("h"))
         .orderBy("h")
         .limit(k)
         .agg(F.max("h").alias("hk"), F.count(F.lit(1)).alias("n"))
     )
-    exact = toks.count()
-    row = kth.collect()[0]
-    n, hk = int(row["n"]), float(row["hk"])
-    est = (n - 1) / hk if n >= k else float(n)  # exact when corpus < k
-    err_e4 = int(abs(est - exact) / exact * 10000) if exact else 0
-    return spark.createDataFrame(
-        [(k, exact, int(est * 100), err_e4)],
-        "k bigint, exact_distinct bigint, kmv_estimate_e2 bigint, rel_err_e4 bigint",
+    ex = toks.agg(F.count(F.lit(1)).alias("exact"))
+    est = F.when(
+        F.col("n") >= k, (F.col("n") - 1) / F.col("hk")
+    ).otherwise(F.col("n").cast("double"))  # exact when corpus < k
+    return (
+        kth.crossJoin(ex)
+        .select(
+            F.lit(k).cast("bigint").alias("k"),
+            F.col("exact").cast("bigint").alias("exact_distinct"),
+            F.floor(est * 100).cast("bigint").alias("kmv_estimate_e2"),
+            F.floor(F.abs(est - F.col("exact")) / F.col("exact") * 10000)
+            .cast("bigint")
+            .alias("rel_err_e4"),
+        )
     )
 
 
