@@ -343,14 +343,24 @@ class LakeTable:
         ("date", "timestamp"),
     }
 
+    # bucket-column widenings that leave ``_bucket_expr`` routing intact:
+    # the expr hashes integers at a canonical bigint width, so int->bigint
+    # is hash-invariant by construction. Everything else is rejected —
+    # xxhash64(double) differs from the int's hash, and cast(date as
+    # timestamp) is session-timezone-dependent, so either would silently
+    # route a widened key's updates into a different bucket than its
+    # stored versions (ADVICE r4: duplicate/stale rows on pruned reads).
+    _BUCKET_SAFE_WIDENINGS = {("int", "bigint")}
+
     def widen_column(self, name: str, new_type: str) -> None:
         """Widen a column's type in place (metadata-only — no data files
         rewritten; readers cast old files up on reconcile). Only the
-        lossless promotions in ``_WIDENINGS`` are allowed; key/bucket
-        columns may widen too (bucket hashing runs on the read-side cast
-        value, which is unchanged by a lossless promotion... except
-        int→double for a BUCKET column, which is rejected: xxhash64 of a
-        double differs from the int's hash and rows would change bucket)."""
+        lossless promotions in ``_WIDENINGS`` are allowed. The BUCKET
+        column is stricter: only promotions that provably keep
+        ``_bucket_expr`` output unchanged (``_BUCKET_SAFE_WIDENINGS`` —
+        int→bigint, which the expr already hashes at bigint width) are
+        accepted; any other promotion would re-route existing keys to new
+        buckets and corrupt pruned reads / MoR resolution."""
         m = self.manifest()
         fields = [dict(f) for f in self.schema_fields(m)]
         for f in fields:
@@ -362,11 +372,14 @@ class LakeTable:
                         f"unsupported widening {f['type']} -> {new_type}; "
                         f"allowed: {sorted(self._WIDENINGS)}"
                     )
-                if m["bucket_col"] == name and f["type"] != new_type and \
-                        new_type in ("double",):
+                if m["bucket_col"] == name and \
+                        (f["type"], new_type) not in self._BUCKET_SAFE_WIDENINGS:
                     raise ValueError(
-                        "cannot widen the bucket column to a floating type "
-                        "(bucket hash of the cast value would move rows)"
+                        f"cannot widen the bucket column {f['type']} -> "
+                        f"{new_type}: bucket hashes would change and move "
+                        "existing keys to different buckets; only "
+                        f"{sorted(self._BUCKET_SAFE_WIDENINGS)} is "
+                        "hash-invariant"
                     )
                 f["type"] = new_type
                 break
@@ -434,9 +447,15 @@ class LakeTable:
     def _zone_expr(self, m: dict[str, Any], c: str) -> F.Column:
         types = {f["name"]: f["type"] for f in self.schema_fields(m)}
         col = F.col(c)
-        # timestamps are stored in the manifest as epoch micros (JSON has
-        # no timestamp type and fixed-width ints compare exactly)
-        return F.unix_micros(col) if types[c] == "timestamp" else col
+        # temporal zone bounds are stored in the manifest as fixed-width
+        # ints (epoch micros / epoch days): JSON has no timestamp or date
+        # type — a raw datetime.date would crash json.dumps at commit
+        # (ADVICE r4) — and ints compare exactly on the read side
+        if types[c] == "timestamp":
+            return F.unix_micros(col)
+        if types[c] == "date":
+            return F.unix_date(col)
+        return col
 
     def _zone_aggs(self, m: dict[str, Any], zone_cols: list[str]) -> list[F.Column]:
         aggs: list[F.Column] = []
@@ -539,7 +558,8 @@ class LakeTable:
         files by manifest zone maps BEFORE any storage access — at 10^6
         files this skips both the listing and the parquet footer reads
         that engine-side pushdown would still pay. Timestamp columns take
-        epoch-micros ints. Only key columns are allowed: all versions of
+        epoch-micros ints; date columns take epoch-day ints. Only key
+        columns are allowed: all versions of
         a key share its key values, so a file either holds every surviving
         version of an in-range key or none of it, and MoR LWW resolution
         over the kept files is exact. The same range is re-applied as a
@@ -581,7 +601,18 @@ class LakeTable:
 
     # --------------------------------------------------------------- merge
     def _bucket_expr(self, m: dict[str, Any]) -> F.Column:
-        return F.pmod(F.xxhash64(F.col(m["bucket_col"])), F.lit(m["n_buckets"])).cast("int")
+        # integer bucket columns hash at a canonical bigint width:
+        # xxhash64 hashes int and bigint to DIFFERENT values (verified:
+        # xxhash64(5 as int) != xxhash64(5 as bigint)), so without the
+        # cast a widen_column(int->bigint) would re-route every existing
+        # key's future updates into a different bucket (ADVICE r4). The
+        # cast is free (fits the codegen'd hash call) and makes the
+        # int->bigint promotion hash-invariant from table creation.
+        types = {f["name"]: f["type"] for f in self.schema_fields(m)}
+        col = F.col(m["bucket_col"])
+        if types.get(m["bucket_col"]) in ("int", "bigint"):
+            col = col.cast("bigint")
+        return F.pmod(F.xxhash64(col), F.lit(m["n_buckets"])).cast("int")
 
     @staticmethod
     def _committed_in(m: dict[str, Any], query_id: str, batch_id: int) -> bool:

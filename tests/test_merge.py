@@ -712,6 +712,92 @@ def test_widen_column_metadata_only(spark, tmp_path):
         t.widen_column("_seq", "bigint")
 
 
+def test_widen_bucket_column_keeps_routing(spark, tmp_path):
+    """ADVICE r4 (high): widening the BUCKET column int -> bigint must not
+    re-route existing keys — xxhash64 hashes int and bigint differently,
+    so _bucket_expr hashes integers at canonical bigint width. Post-widen
+    updates/deletes must land in the same bucket as stored versions (no
+    duplicate/stale rows on read), and hash-changing promotions of the
+    bucket column are rejected."""
+    t = LakeTable.create(
+        spark, str(tmp_path / "tbl"),
+        [("doc_id", "int"), ("text", "string")],
+        key=["doc_id"], bucket_col="doc_id", n_buckets=8,
+    )
+    b0 = spark.createDataFrame(
+        [("U", i, i, f"v{i}") for i in range(1, 21)],
+        "op string, seq bigint, doc_id int, text string",
+    )
+    t.merge(b0, batch_key=("q", 0))
+    t.widen_column("doc_id", "bigint")
+    # updates + a delete under the widened type, same key VALUES
+    b1 = spark.createDataFrame(
+        [("U", 100, 1, "v1b"), ("U", 101, 2, "v2b"), ("D", 102, 3, None)],
+        "op string, seq bigint, doc_id bigint, text string",
+    )
+    t.merge(b1, batch_key=("q", 1))
+    got = {r["doc_id"]: r["text"] for r in t.read().collect()}
+    assert len(got) == 19                      # no duplicated key rows
+    assert got[1] == "v1b" and got[2] == "v2b" and 3 not in got
+    # per-bucket pruned read agrees with the full read (routing intact)
+    m = t.manifest()
+    per_bucket = set()
+    for b in range(m["n_buckets"]):
+        per_bucket |= {
+            (r["doc_id"], r["text"]) for r in t.read(buckets=[b]).collect()
+        }
+    assert per_bucket == set(got.items())
+    # hash-changing promotions of the bucket column are refused
+    t2 = LakeTable.create(
+        spark, str(tmp_path / "tbl2"),
+        [("d", "date"), ("text", "string")], key=["d"], bucket_col="d",
+    )
+    with pytest.raises(ValueError, match="bucket column"):
+        t2.widen_column("d", "timestamp")
+    t3 = LakeTable.create(
+        spark, str(tmp_path / "tbl3"),
+        [("k", "int"), ("text", "string")], key=["k"], bucket_col="k",
+    )
+    with pytest.raises(ValueError, match="bucket column"):
+        t3.widen_column("k", "double")
+
+
+def test_zone_maps_date_key_column(spark, tmp_path):
+    """ADVICE r4 (medium): a DATE key column's zone bounds must serialize
+    (epoch days, not datetime.date — json.dumps(date) raises TypeError),
+    and read(zones=...) must prune/filter by the same epoch-day ints."""
+    import datetime as dt
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "tbl"),
+        [("d", "date"), ("text", "string")],
+        key=["d"], bucket_col="d", n_buckets=2, write_mode="mor",
+    )
+
+    def batch(day, seq0):
+        rows = [("U", seq0 + j, dt.date(2024, 1, day + j), f"t{day + j}")
+                for j in range(3)]
+        return spark.createDataFrame(
+            rows, "op string, seq bigint, d date, text string"
+        )
+
+    # would raise TypeError at commit before the epoch-day fix
+    t.merge(batch(1, 0), batch_key=("q", 0))
+    t.merge(batch(20, 100), batch_key=("q", 1))
+    m = t.manifest()
+    entries = [e for es in m["buckets"].values() for e in es]
+    assert entries and all("zones" in e and "d" in e["zones"] for e in entries)
+    assert all(
+        isinstance(v, int) for e in entries for v in e["zones"]["d"]
+    )
+    day20 = (dt.date(2024, 1, 20) - dt.date(1970, 1, 1)).days
+    pruned = {(str(r["d"]), r["text"])
+              for r in t.read(zones={"d": (day20, None)}).collect()}
+    full = {(str(r["d"]), r["text"])
+            for r in t.read().filter(F.col("d") >= "2024-01-20").collect()}
+    assert pruned == full and len(pruned) == 3
+
+
 def test_rebucket_partition_evolution(spark, tmp_path, changes):
     """rebucket(N): one atomic rewrite commit; state identical before and
     after, merges keep landing under the new bucketing, watermarks
