@@ -1,4 +1,5 @@
 from go_bqloader_spark.streaming.dedup import (  # noqa: F401
+    IngestContentDedup,
     content_fingerprint,
     dedup_stream,
 )

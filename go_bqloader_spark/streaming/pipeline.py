@@ -44,6 +44,7 @@ def start_cdc_stream(
     expire_keep: int | None = 64,
     schema: str = CHANGE_SCHEMA,
     stream_transform: Callable[[DataFrame], DataFrame] | None = None,
+    content_dedup=None,
 ) -> StreamingQuery:
     """Start the streaming apply; returns the StreamingQuery handle.
 
@@ -52,7 +53,10 @@ def start_cdc_stream(
     the STREAMING frame before the sink — the hook for stateful stream
     operators like :func:`~go_bqloader_spark.streaming.dedup.dedup_stream`
     (ingest-time content dedup), whose watermark/state machinery must live
-    upstream of ``foreachBatch``."""
+    upstream of ``foreachBatch``. ``content_dedup`` takes an
+    :class:`~go_bqloader_spark.streaming.dedup.IngestContentDedup` — the
+    zero-payload-shuffle dedup path that runs inside ``foreachBatch`` and
+    commits its fingerprint state exactly-once AFTER each data merge."""
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -62,9 +66,13 @@ def start_cdc_stream(
         stream = stream_transform(stream)
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if content_dedup is not None:
+            batch_df = content_dedup.filter_batch(batch_df)
         if projector is not None:
             batch_df = projector(batch_df)
         table.merge(batch_df, batch_key=(query_name, batch_id))
+        if content_dedup is not None:
+            content_dedup.commit(batch_id)
         # MoR maintenance, same single-writer thread as the merges: fold
         # delta entries periodically so read amplification stays bounded,
         # and expire old snapshots so manifests + dead files don't
