@@ -5,6 +5,12 @@ from go_bqloader_spark.operators.dedup import (  # noqa: F401
     ngram_jaccard_pairs,
     simhash64,
 )
+from go_bqloader_spark.operators.kmv import (  # noqa: F401
+    kmv_estimate,
+    kmv_hash,
+    kmv_merge,
+    kmv_sketch,
+)
 from go_bqloader_spark.operators.merge import (  # noqa: F401
     lww_dedup,
     salted_lww_dedup,
@@ -19,5 +25,6 @@ from go_bqloader_spark.operators.similarity import (  # noqa: F401
     ivf_assign,
     ivf_cells,
     ivf_topk,
+    kmeans_cells,
     lsh_topk,
 )

@@ -80,8 +80,16 @@ def _decode_one(payload: bytes | None) -> tuple[str | None, int | None, int | No
     from go_bqloader_spark.operators import jpegcodec as jc
 
     if jc.is_jpeg(payload):
-        w, h, _ch, _px = jc.decode_jpeg(payload)
-        return "image/jpeg", w, h
+        try:
+            w, h, _ch, _px = jc.decode_jpeg(payload)
+            return "image/jpeg", w, h
+        except NotImplementedError:
+            # variants the built-in codec doesn't cover (e.g. arithmetic
+            # coding) fall through to PIL when present — matching
+            # _feature_one's handling (ADVICE r4: an uncaught raise here
+            # failed the whole mapInPandas batch and made the PIL path
+            # unreachable)
+            pass
     if _PILImage is not None:
         import io
 
