@@ -6,9 +6,11 @@ Spark-side machinery — schema, partition-preserving ``mapInPandas``, Arrow
 batch shapes, null/delete handling — is real, and so is the codec work for
 the formats stdlib can express: PNG (full zlib+unfilter pixel decode), BMP,
 PPM, and PCM WAV all decode via ``operators/mediacodecs.py`` with no
-external libraries; image features come from the decoded pixels. The
-deterministic FAKEIMG header remains for datagen; formats that require
-external decoders (JPEG, video) raise the documented NotImplementedError —
+external libraries, and baseline + progressive JPEG decode via the
+from-spec T.81 codec (``operators/jpegcodec.py``); image features come
+from the decoded pixels. The deterministic FAKEIMG header remains for
+datagen; formats that require external decoders (arithmetic-coded JPEG,
+video) raise the documented NotImplementedError —
 swapping in PIL/libsndfile is a one-function change and nothing about the
 distributed plan moves.
 
@@ -59,7 +61,7 @@ def _decode_one(payload: bytes | None) -> tuple[str | None, int | None, int | No
     (``operators/mediacodecs.py`` — full pixel decode, not just headers);
     the deterministic FAKEIMG header serves datagen/tests; PIL is used for
     other formats when available; otherwise the documented
-    NotImplementedError (e.g. JPEG needs an external DCT decoder). The
+    NotImplementedError (e.g. arithmetic-coded JPEG). The
     surrounding distributed plan is identical in every case."""
     from go_bqloader_spark.operators import mediacodecs as mc
 
@@ -98,14 +100,15 @@ def _decode_one(payload: bytes | None) -> tuple[str | None, int | None, int | No
             return f"image/{fmt}", int(img.width), int(img.height)
     raise NotImplementedError(
         "no codec for this payload (built-in codecs cover PNG/BMP/PPM/"
-        "baseline JPEG; progressive JPEG and video need external decoders "
-        "absent in this environment)"
+        "baseline+progressive JPEG; arithmetic-coded JPEG and video need "
+        "external decoders absent in this environment)"
     )
 
 
 def _feature_one(payload: bytes | None, dim: int = 8) -> list[float] | None:
     """Feature extractor: for payloads our codecs fully decode (PNG / BMP /
-    PPM / baseline JPEG) the embedding is computed from the REAL pixels
+    PPM / baseline+progressive JPEG) the embedding is computed from the
+    REAL pixels
     (per-channel mean/spread + shape — ``channel_stats_features``);
     otherwise a deterministic digest-based pseudo-embedding stands in for
     a vision encoder. Both are 8-dim, deterministic, and shuffle nothing

@@ -84,6 +84,37 @@ def test_jpeg_roundtrip_property(w, h, chans, seed, rst):
     assert np.abs(out.astype(int) - img.astype(int)).max() <= 2
 
 
+@settings(max_examples=10, deadline=None)
+@given(
+    w=st.integers(1, 40),
+    h=st.integers(1, 40),
+    chans=st.sampled_from([1, 3]),
+    seed=st.integers(0, 2**31 - 1),
+    sub=st.sampled_from([(1, 1), (2, 2)]),
+)
+def test_jpeg_progressive_roundtrip_property(w, h, chans, seed, sub):
+    """SOF2 4-phase scan script: any size / gray vs color / 4:4:4 vs
+    4:2:0 — decode matches the source within DCT rounding. Random data
+    maximizes AC density, stressing EOB-run + refinement bookkeeping."""
+    from go_bqloader_spark.operators.jpegcodec import encode_jpeg_progressive
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (h, w, chans), dtype=np.uint8)
+    if chans == 3 and sub == (2, 2):
+        img[..., 1] = img[..., 0]  # chroma-smooth: subsampling is lossy
+        img[..., 2] = img[..., 0]
+    data = encode_jpeg_progressive(
+        w, h, chans, img.tobytes(), subsample=sub if chans == 3 else (1, 1)
+    )
+    dw, dh, dch, px = decode_jpeg(data)
+    assert (dw, dh, dch) == (w, h, chans)
+    out = np.frombuffer(px, np.uint8).reshape(h, w, chans)
+    if chans == 3 and sub == (2, 2):
+        assert np.abs(out.astype(int) - img.astype(int)).mean() < 3.0
+    else:
+        assert np.abs(out.astype(int) - img.astype(int)).max() <= 2
+
+
 @settings(max_examples=30, deadline=None)
 @given(
     w=st.integers(0, 8192),

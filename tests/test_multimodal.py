@@ -276,16 +276,121 @@ def test_jpeg_420_subsampling_and_byte_stuffing():
     assert b"\xff\x00" in data[scan_start:]
 
 
-def test_jpeg_progressive_raises():
+def test_jpeg_arithmetic_raises():
+    """Arithmetic-coded JPEG (SOF9) is the remaining documented stub —
+    progressive (SOF2) now decodes (see roundtrip tests below)."""
     import struct
 
     import pytest as _pytest
 
     from go_bqloader_spark.operators.jpegcodec import decode_jpeg
 
-    sof2 = b"\xff\xd8" + b"\xff\xc2" + struct.pack(">H", 11) + bytes(9)
-    with _pytest.raises(NotImplementedError, match="progressive"):
-        decode_jpeg(sof2)
+    sof9 = b"\xff\xd8" + b"\xff\xc9" + struct.pack(">H", 11) + bytes(9)
+    with _pytest.raises(NotImplementedError, match="arithmetic"):
+        decode_jpeg(sof9)
+
+
+# ------------------------------------------- progressive JPEG (round 5)
+def test_jpeg_progressive_roundtrip_444_and_gray():
+    """SOF2 4-phase scan script (DC first/refine, per-comp AC first/refine
+    with EOB runs) decodes near-losslessly at flat quant=1; odd dims
+    exercise the component ceil-grid (non-MCU) block geometry of
+    single-component AC scans (T.81 A.2.2)."""
+    import numpy as np
+
+    from go_bqloader_spark.operators.jpegcodec import (
+        decode_jpeg, encode_jpeg_progressive, is_jpeg,
+    )
+
+    rng = np.random.default_rng(17)
+    w, h = 37, 23
+    x = np.linspace(0, 255, w)[None, :, None]
+    y = np.linspace(0, 255, h)[:, None, None]
+    img = np.clip(x * 0.5 + y * 0.5 + rng.normal(0, 8, (h, w, 3)), 0, 255).astype(
+        np.uint8
+    )
+    data = encode_jpeg_progressive(w, h, 3, img.tobytes())
+    assert is_jpeg(data)
+    assert b"\xff\xc2" in data  # really SOF2
+    # 4-phase script: 2 DC scans + 3 AC-first + 3 AC-refine = 8 SOS
+    assert data.count(b"\xff\xda") == 8
+    dw, dh, ch, px = decode_jpeg(data)
+    assert (dw, dh, ch) == (w, h, 3)
+    out = np.frombuffer(px, np.uint8).reshape(h, w, 3)
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 2
+
+    g = img[..., 0]
+    data = encode_jpeg_progressive(w, h, 1, g.tobytes())
+    assert data.count(b"\xff\xda") == 4  # gray: 2 DC + 1 AC first + 1 refine
+    dw, dh, ch, px = decode_jpeg(data)
+    assert (dw, dh, ch) == (w, h, 1)
+    out = np.frombuffer(px, np.uint8).reshape(h, w)
+    assert np.abs(out.astype(int) - g.astype(int)).max() <= 2
+
+
+def test_jpeg_progressive_420_subsampling():
+    """4:2:0 progressive: interleaved DC scans over multi-block MCUs but
+    PER-COMPONENT AC scans over each component's own ceil grid — the two
+    grids genuinely differ here, catching grid-confusion bugs."""
+    import numpy as np
+
+    from go_bqloader_spark.operators.jpegcodec import (
+        decode_jpeg, encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(19)
+    w, h = 41, 29  # odd dims + subsampling: ceil grids all around
+    base = rng.integers(0, 255, (h, w), dtype=np.uint8)
+    img = np.stack([base, base, base], axis=2)
+    data = encode_jpeg_progressive(w, h, 3, img.tobytes(), subsample=(2, 2))
+    dw, dh, ch, px = decode_jpeg(data)
+    assert (dw, dh, ch) == (w, h, 3)
+    out = np.frombuffer(px, np.uint8).reshape(h, w, 3)
+    assert np.abs(out.astype(int) - img.astype(int)).mean() < 3.0
+
+
+def test_jpeg_progressive_matches_baseline_decode():
+    """Baseline and progressive encodings of the SAME image must decode to
+    (near-)identical pixels — the scan script is a transport detail."""
+    import numpy as np
+
+    from go_bqloader_spark.operators.jpegcodec import (
+        decode_jpeg, encode_jpeg, encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(23)
+    img = rng.integers(0, 255, (24, 32, 3), dtype=np.uint8)
+    base = decode_jpeg(encode_jpeg(32, 24, 3, img.tobytes()))
+    prog = decode_jpeg(encode_jpeg_progressive(32, 24, 3, img.tobytes()))
+    assert base[:3] == prog[:3]
+    a = np.frombuffer(base[3], np.uint8).astype(int)
+    b = np.frombuffer(prog[3], np.uint8).astype(int)
+    assert np.abs(a - b).max() <= 1  # only rounding-path differences
+
+
+def test_jpeg_progressive_through_decode_image_meta(spark):
+    """decode_image_meta returns REAL dimensions + pixel features for a
+    progressive payload (VERDICT r4 item #6 'Done' criterion)."""
+    import numpy as np
+
+    from go_bqloader_spark.operators.jpegcodec import (
+        decode_jpeg, encode_jpeg_progressive,
+    )
+    from go_bqloader_spark.operators.mediacodecs import channel_stats_features
+
+    rng = np.random.default_rng(29)
+    img = rng.integers(0, 255, (16, 24, 3), dtype=np.uint8)
+    payload = encode_jpeg_progressive(24, 16, 3, img.tobytes())
+    df = spark.createDataFrame(
+        [("u1", None, bytearray(payload))],
+        "url string, warc_ts timestamp, payload binary",
+    )
+    row = decode_image_meta(df).collect()[0]
+    assert (row["mime"], row["width"], row["height"]) == ("image/jpeg", 24, 16)
+    w, h, ch, px = decode_jpeg(payload)
+    assert list(row["feat"]) == pytest.approx(
+        channel_stats_features(w, h, ch, px)[:8], abs=1e-6
+    )
 
 
 def test_jpeg_through_decode_image_meta(spark):
