@@ -1096,11 +1096,20 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeds) → 2 bands of 2 → bucket-join. Cost is linear in tokens + band
     collisions, never all-pairs ACROSS buckets; the pair listing itself is
     quadratic in bucket size by definition (clustering should consume the
-    star edges of ``dedup_clusters`` instead of this listing)."""
+    star edges of ``dedup_clusters`` instead of this listing).
+
+    The self-join is hinted to SHUFFLE (merge) rather than broadcast: with
+    both sides shuffled on (band, bi) the two subtrees are identical
+    exchanges and Spark's ReuseExchange rule computes the whole
+    tokenize → md5-minhash → bands pipeline ONCE (the broadcast variant
+    ran it twice — r5 isolation profile: ~6 s of the row's ~10 s was the
+    duplicated signature stage). Same shape a 10^9-doc corpus needs,
+    where the bands side could never broadcast anyway."""
     bands = _minhash_bands(load(spark, sf_dir, "documents"))
     return (
         bands.alias("a")
-        .join(bands.alias("b"), ["band", "bi"])
+        .hint("merge")
+        .join(bands.alias("b").hint("merge"), ["band", "bi"])
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
         .distinct()

@@ -59,6 +59,24 @@ def test_minhash_dedup_finds_near_dups(spark, near_dups):
     assert any(d1 in (1, 2) and d2 == 3 for d1, d2 in pairs)  # near dup found
 
 
+def test_minhash_lsh_query_reuses_signature_stage(spark):
+    """r5: the registry minhash_lsh self-join is hinted to a shuffle join
+    so both sides share one Exchange hashpartitioning(band, bi) and AQE's
+    ReuseExchange computes the tokenize→md5-minhash pipeline ONCE (the
+    broadcast variant ran it twice — ~6 s of the sf0.1 bench row). Static
+    EXPLAIN can't show this (it's a runtime AQE rewrite), so assert on
+    the final adaptive plan after execution."""
+    from go_bqloader_spark.plans.queries import q_minhash_lsh
+
+    df = q_minhash_lsh(spark, SF)
+    rows = df.collect()  # execute THIS frame so its final plan is final
+    assert rows  # sf0.001 corpus has near-dup collisions
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    assert plan.count("ReusedExchange") >= 1
+    assert "BroadcastHashJoin" not in plan  # shuffle join both sides
+
+
 def test_minhash_candidates_superset_of_exact_dups(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     sig = minhash_signatures(docs, k=8)
