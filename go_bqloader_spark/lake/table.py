@@ -993,8 +993,16 @@ class LakeTable:
         commit_id = uuid.uuid4().hex[:12]
         rel = os.path.join("data", f"c{m['version'] + 1:08d}_{commit_id}_compact")
         out_dir = os.path.join(self.path, rel)
+        # read-optimized rewrite: key-sort within each bucket file so
+        # parquet row-group min/max on the key columns are tight and
+        # zone-filtered reads (`read(zones=...)` → pushed parquet
+        # predicates) skip row groups, not just whole buckets. The merge
+        # hot path deliberately sorts by key-HASH (radix-fast, but
+        # key-random row groups); compaction is the offline place to pay
+        # for key clustering — same split as Iceberg's sort-order rewrite.
         (
             resolved.repartition(max(len(targets), 1), F.col("b"))
+            .sortWithinPartitions("b", *m["key"])
             .write.partitionBy("b")
             .mode("overwrite")
             .parquet(out_dir)
@@ -1056,6 +1064,8 @@ class LakeTable:
         out_dir = os.path.join(self.path, rel)
         (
             rows.repartition(max(n_buckets, 1), F.col("b"))
+            .sortWithinPartitions("b", *m["key"])  # key-clustered row
+            # groups, same rationale as compact()
             .write.partitionBy("b")
             .mode("overwrite")
             .parquet(out_dir)

@@ -220,19 +220,25 @@ def ngram_jaccard_pairs(
             .select("tok")
         )
         tok = tok.join(rare, "tok")
-    sizes = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    inter = (
+    # per-doc set size as a window count riding the rows (a separate
+    # `sizes` aggregate joined back on d1 AND d2 re-evaluated the whole
+    # tokenize→DF-cap pipeline twice more); shuffle-hinted self-join so
+    # both sides share one Exchange hashpartitioning(tok) via AQE's
+    # ReuseExchange — the pipeline materializes ONCE (see q_minhash_lsh)
+    tok = tok.withColumn("sz", F.count(F.lit(1)).over(W.partitionBy(id_col)))
+    return (
         tok.alias("a")
-        .join(tok.alias("b"), "tok")
+        .hint("merge")
+        .join(tok.alias("b").hint("merge"), "tok")
         .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .groupBy(
             F.col(f"a.{id_col}").alias("d1"), F.col(f"b.{id_col}").alias("d2")
         )
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    return (
-        inter.join(sizes.select(F.col(id_col).alias("d1"), F.col("sz").alias("s1")), "d1")
-        .join(sizes.select(F.col(id_col).alias("d2"), F.col("sz").alias("s2")), "d2")
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.max(F.col("a.sz")).alias("s1"),
+            F.max(F.col("b.sz")).alias("s2"),
+        )
         .withColumn(
             "jaccard",
             F.col("inter") / (F.col("s1") + F.col("s2") - F.col("inter")),

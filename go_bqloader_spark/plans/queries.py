@@ -1021,18 +1021,30 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("df") <= _NGRAM_DF_CAP)
         .select("sh")
     )
-    capped = sh.join(rare, "sh")
-    sizes = capped.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    pairs = (
-        capped.alias("a")
-        .join(capped.alias("b"), "sh")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
-        .agg(F.count(F.lit(1)).alias("inter"))
+    # per-doc capped-set size rides ALONG the rows as a window count
+    # instead of a separate groupBy frame: the old shape joined a `sizes`
+    # aggregate back twice (d1, d2), and with the broadcast self-join each
+    # of the 4 references re-evaluated the whole scan→shingle→DF-cap
+    # pipeline (8 parquet scans in the plan). Now the pipeline is computed
+    # once: window by doc_id, then a shuffle-hinted self-join whose two
+    # sides are the identical Exchange hashpartitioning(sh) — AQE's
+    # ReuseExchange materializes it once (same mechanics as minhash_lsh).
+    w_doc = W.partitionBy("doc_id")
+    capped = (
+        sh.join(rare, "sh")
+        .withColumn("sz", F.count(F.lit(1)).over(w_doc))
     )
     return (
-        pairs.join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("sz", "s1"), "d1")
-        .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("sz", "s2"), "d2")
+        capped.alias("a")
+        .hint("merge")
+        .join(capped.alias("b").hint("merge"), "sh")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.max(F.col("a.sz")).alias("s1"),  # constant within the group
+            F.max(F.col("b.sz")).alias("s2"),
+        )
         .withColumn(
             "jaccard_e4",
             F.expr("(inter * 10000) DIV (s1 + s2 - inter)"),

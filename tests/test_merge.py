@@ -237,6 +237,33 @@ def test_mor_compaction_preserves_state(spark, tmp_path, changes):
     assert ops.count("compact") == 2
 
 
+def test_compaction_key_sorts_bucket_files(spark, tmp_path, changes):
+    """r5: compact() is the read-optimized rewrite — rows inside each
+    bucket file come out key-sorted so parquet row-group min/max on the
+    key columns are tight (zone reads push predicates into the scan and
+    skip row groups, not just buckets). Verified on the raw files with
+    pyarrow, no Spark ordering involved."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    t = _make_table(spark, tmp_path, n_buckets=4, write_mode="mor")
+    for i in range(3):
+        t.merge(changes.filter(F.pmod(F.col("seq"), 3) == i), batch_key=("q", i))
+    assert t.compact() > 0
+
+    files = glob.glob(str(tmp_path / "tbl" / "data" / "*_compact" / "b=*" / "*.parquet"))
+    assert files
+    checked = 0
+    for f in files:
+        tb = pq.read_table(f, columns=["url", "warc_ts"])
+        rows = list(zip(tb.column("url").to_pylist(), tb.column("warc_ts").to_pylist()))
+        if len(rows) > 1:
+            assert rows == sorted(rows), f"unsorted compacted file {f}"
+            checked += 1
+    assert checked > 0
+
+
 @pytest.mark.parametrize("mode", MODES)
 def test_empty_batch_commits_noop(spark, tmp_path, changes, mode):
     """An empty change batch must commit a ledger no-op, not crash on the
