@@ -90,6 +90,14 @@ def main():
         import random
 
         random.Random(int(os.environ.get("SPARK_GRAFT_BENCH_SEED", "0"))).shuffle(order)
+    # untimed warmup: one scan of each base table so the FIRST timed row
+    # doesn't absorb JVM/JIT/page-cache startup (r4/r5 isolation runs
+    # measured that cost at 1.5-7x the row's steady state — it belongs to
+    # the session, not whichever query runs first)
+    from go_bqloader_spark.plans.queries import load as _load
+
+    for t in ("documents", "embeddings", "events"):
+        _load(spark, sf_dir, t).count()
     all_reps: dict[str, list[float]] = {name: [] for name in order}
     for _ in range(reps):
         for name in order:
