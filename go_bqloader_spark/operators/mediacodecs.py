@@ -14,10 +14,16 @@ implemented here from the public specs:
 - **WAV** (RIFF PCM): fmt/data chunk walk → sample rate, channels,
   duration, plus mean-absolute-amplitude over PCM16 samples.
 
+- **AVI** (RIFF, [MS] AVI RIFF File Reference): container metadata walk
+  plus Motion-JPEG frame extraction — each ``00dc`` chunk of a
+  ``vids``/``MJPG`` stream is one complete JPEG, decoded for real by
+  ``operators/jpegcodec.py``.
+
 These are the REAL codec paths behind ``operators/multimodal.py`` (the
 reference engine has no media handling at all; this is part of the
-training-data-pipeline surface). Formats needing external decoders (JPEG
-DCT, video) still raise the documented ``NotImplementedError`` upstream.
+training-data-pipeline surface). Formats needing external decoders
+(arithmetic-coded JPEG, H.264/H.265 video) still raise the documented
+``NotImplementedError`` or yield no rows upstream.
 """
 
 from __future__ import annotations
@@ -278,8 +284,9 @@ def decode_mp4_meta(data: bytes) -> dict:
     """Container-level metadata from the public ISO/IEC 14496-12 box
     structure: brand, duration (mvhd), per-track handler + video WxH
     (tkhd 16.16 fixed point). FRAME decode needs an H.264/H.265 decoder
-    (absent here) — the metadata path is the real, tested part; sampling
-    raises upstream (``sample_video_frames``)."""
+    (absent here), so MP4 payloads yield no rows from
+    ``sample_video_frames`` — MJPEG-AVI is the frame-decodable container
+    (see ``iter_avi_frames``)."""
     if not is_mp4(data):
         raise ValueError("not an ISO-BMFF/MP4 container")
     meta = {"brand": None, "duration_ms": None, "n_tracks": 0,
@@ -346,3 +353,132 @@ def write_mp4_skeleton(
     moov = box(b"moov", mvhd + traks)
     ftyp = box(b"ftyp", brand + struct.pack(">I", 0) + b"isomiso2")
     return ftyp + moov
+
+
+# ---------------------------------------------------------------------------
+# AVI (RIFF) — Motion-JPEG video, from the public AVI RIFF File Reference
+# ([MS] AVI RIFF spec / OpenDML). A 'vids'/'MJPG' stream is a sequence of
+# '00dc' chunks each holding one complete T.81 JPEG image, so the existing
+# from-spec decoder in ``operators/jpegcodec.py`` decodes real frames —
+# this is the one video container where frame sampling needs no external
+# codec. (The reference engine has no media handling; this is part of the
+# training-data-pipeline surface, like the image/audio codecs above.)
+
+
+def is_avi(data: bytes) -> bool:
+    return len(data) >= 12 and data[:4] == b"RIFF" and data[8:12] == b"AVI "
+
+
+def _walk_riff(data: bytes, start: int, end: int):
+    """Yield ``(fourcc, list_type, body_start, body_end)`` for each RIFF
+    chunk in ``data[start:end)``. ``LIST``/``RIFF`` chunks carry their
+    4-byte list type (body range excludes it); plain chunks yield None.
+    Chunks pad to even size; a truncated chunk terminates the walk rather
+    than raising (poison-row discipline — crawled media is often cut)."""
+    pos = start
+    while pos + 8 <= end:
+        fcc = data[pos:pos + 4]
+        (size,) = struct.unpack("<I", data[pos + 4:pos + 8])
+        body0, body1 = pos + 8, pos + 8 + size
+        if body1 > end:
+            return
+        if fcc in (b"RIFF", b"LIST") and size >= 4:
+            yield fcc, data[body0:body0 + 4], body0 + 4, body1
+        else:
+            yield fcc, None, body0, body1
+        pos = body1 + (size & 1)
+
+
+def decode_avi_meta(data: bytes) -> dict:
+    """AVI container metadata: MainAVIHeader (``avih``) frame timing and
+    dimensions plus per-stream ``strh`` types/handlers. Raises ValueError
+    on non-AVI input (mirrors ``decode_mp4_meta``)."""
+    if not is_avi(data):
+        raise ValueError("not an AVI (RIFF) payload")
+    meta = {
+        "micro_per_frame": 0, "n_frames": 0, "width": None, "height": None,
+        "n_streams": 0, "handlers": [], "has_video": False,
+        "has_audio": False, "duration_ms": 0,
+    }
+    for fcc, lt, b0, b1 in _walk_riff(data, 12, len(data)):
+        if fcc != b"LIST" or lt != b"hdrl":
+            continue
+        for c2, l2, c0, c1 in _walk_riff(data, b0, b1):
+            if c2 == b"avih" and c1 - c0 >= 40:
+                (mpf, _mbps, _pad, _flags, nfr, _init, nstr, _sug,
+                 w, h) = struct.unpack("<10I", data[c0:c0 + 40])
+                meta.update(micro_per_frame=mpf, n_frames=nfr,
+                            n_streams=nstr, width=w, height=h,
+                            duration_ms=int(mpf * nfr / 1000))
+            elif c2 == b"LIST" and l2 == b"strl":
+                for c3, _l3, d0, d1 in _walk_riff(data, c0, c1):
+                    if c3 == b"strh" and d1 - d0 >= 8:
+                        ftype = data[d0:d0 + 4].decode("ascii", "replace")
+                        hdl = data[d0 + 4:d0 + 8].decode("ascii", "replace")
+                        meta["handlers"].append((ftype, hdl))
+                        if ftype == "vids":
+                            meta["has_video"] = True
+                        elif ftype == "auds":
+                            meta["has_audio"] = True
+    return meta
+
+
+def iter_avi_frames(data: bytes):
+    """Yield the raw bytes of each video frame chunk (``##dc``/``##db``)
+    in the ``movi`` list, in stream order; grouped ``rec ``-list records
+    are walked recursively. For an MJPG stream each yielded value is one
+    complete JPEG."""
+
+    def walk_movi(start: int, end: int):
+        for fcc, lt, b0, b1 in _walk_riff(data, start, end):
+            if fcc == b"LIST" and lt == b"rec ":
+                yield from walk_movi(b0, b1)
+            elif fcc[2:4] in (b"dc", b"db"):
+                yield data[b0:b1]
+
+    for fcc, lt, b0, b1 in _walk_riff(data, 12, len(data)):
+        if fcc == b"LIST" and lt == b"movi":
+            yield from walk_movi(b0, b1)
+
+
+def write_avi_mjpeg(
+    frames: list[bytes], width: int, height: int, fps: int = 10,
+) -> bytes:
+    """Fixture-grade Motion-JPEG AVI: RIFF('AVI ') with hdrl(avih +
+    strl(strh 'vids'/'MJPG' + strf BITMAPINFOHEADER)), a movi list of
+    ``00dc`` chunks (one JPEG per frame, from ``encode_jpeg``/
+    ``encode_jpeg_progressive``), and an idx1 index — the layout real
+    MJPEG recorders emit. Same fixture-writer discipline as
+    ``write_mp4_skeleton``."""
+
+    def chunk(fcc: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) & 1 else b""
+        return fcc + struct.pack("<I", len(body)) + body + pad
+
+    def lst(list_type: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", list_type + body)
+
+    mpf = int(round(1_000_000 / fps))
+    max_size = max((len(f) for f in frames), default=0)
+    avih = chunk(b"avih", struct.pack(
+        "<10I", mpf, 0, 0, 0x10, len(frames), 0, 1, max_size, width, height,
+    ) + bytes(16))
+    strh = chunk(b"strh", b"vids" + b"MJPG" + struct.pack(
+        "<IHHIIIIIIII", 0, 0, 0, 0, 1, fps, 0, len(frames), max_size,
+        0xFFFFFFFF, 0,
+    ) + struct.pack("<4H", 0, 0, width, height))
+    strf = chunk(b"strf", struct.pack(
+        "<IiiHH4sIiiII", 40, width, height, 1, 24, b"MJPG",
+        width * height * 3, 0, 0, 0, 0,
+    ))
+    hdrl = lst(b"hdrl", avih + lst(b"strl", strh + strf))
+    movi_body = b""
+    idx = b""
+    for f in frames:
+        # idx1 offsets are relative to the 'movi' list-type fourcc
+        idx += b"00dc" + struct.pack("<III", 0x10, 4 + len(movi_body), len(f))
+        movi_body += chunk(b"00dc", f)
+    movi = lst(b"movi", movi_body)
+    idx1 = chunk(b"idx1", idx)
+    body = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(body)) + body

@@ -8,11 +8,12 @@ the formats stdlib can express: PNG (full zlib+unfilter pixel decode), BMP,
 PPM, and PCM WAV all decode via ``operators/mediacodecs.py`` with no
 external libraries, and baseline + progressive JPEG decode via the
 from-spec T.81 codec (``operators/jpegcodec.py``); image features come
-from the decoded pixels. The deterministic FAKEIMG header remains for
-datagen; formats that require external decoders (arithmetic-coded JPEG,
-video) raise the documented NotImplementedError —
-swapping in PIL/libsndfile is a one-function change and nothing about the
-distributed plan moves.
+from the decoded pixels; video frame sampling decodes REAL frames for
+Motion-JPEG AVI (each ``00dc`` chunk is a T.81 JPEG). The deterministic
+FAKEIMG header remains for datagen; formats that require external
+decoders (arithmetic-coded JPEG, H.264/H.265 video) raise the documented
+NotImplementedError or yield no frame rows — swapping in PIL/libsndfile
+is a one-function change and nothing about the distributed plan moves.
 
 Design rules for 100 TB media tables:
 - media bytes NEVER pass through a shuffle: ``mapInPandas`` runs where the
@@ -244,11 +245,15 @@ VIDEO_META_SCHEMA = (
 def decode_video_meta(df: DataFrame) -> DataFrame:
     """Video analog of :func:`decode_image_meta`: ISO-BMFF/MP4 containers
     yield REAL metadata (ftyp brand, mvhd duration, tkhd dimensions,
-    per-track handlers — public ISO/IEC 14496-12 box walk, stdlib only);
-    non-MP4 payloads yield NULL metadata rather than failing the batch.
-    Same plumbing rules as images: payload parsed where it was read,
-    never shuffled; output narrow."""
-    from go_bqloader_spark.operators.mediacodecs import decode_mp4_meta, is_mp4
+    per-track handlers — public ISO/IEC 14496-12 box walk, stdlib only),
+    and RIFF/AVI containers yield MainAVIHeader + per-stream metadata
+    (``mime`` ``video/x-msvideo``, ``brand`` = the video stream's handler
+    fourcc, e.g. ``MJPG``); other payloads yield NULL metadata rather
+    than failing the batch. Same plumbing rules as images: payload parsed
+    where it was read, never shuffled; output narrow."""
+    from go_bqloader_spark.operators.mediacodecs import (
+        decode_avi_meta, decode_mp4_meta, is_avi, is_mp4,
+    )
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in media_batch_iter(batches):
@@ -260,12 +265,31 @@ def decode_video_meta(df: DataFrame) -> DataFrame:
                         continue
                     except ValueError:
                         pass
+                if b is not None and is_avi(bytes(b)):
+                    try:
+                        a = decode_avi_meta(bytes(b))
+                        vids = [h for t, h in a["handlers"] if t == "vids"]
+                        metas.append({
+                            "mime": "video/x-msvideo",
+                            "brand": vids[0] if vids else None,
+                            "duration_ms": a["duration_ms"],
+                            "width": a["width"], "height": a["height"],
+                            "n_tracks": a["n_streams"],
+                            "has_video": a["has_video"],
+                            "has_audio": a["has_audio"],
+                        })
+                        continue
+                    except ValueError:
+                        pass
                 metas.append(None)
             yield pd.DataFrame(
                 {
                     "url": pdf["url"],
                     "warc_ts": pdf["warc_ts"],
-                    "mime": ["video/mp4" if m else None for m in metas],
+                    "mime": [
+                        m.get("mime", "video/mp4") if m else None
+                        for m in metas
+                    ],
                     "n_bytes": pdf["payload"].map(
                         lambda b: None if b is None else len(b)
                     ),
@@ -287,13 +311,93 @@ def decode_video_meta(df: DataFrame) -> DataFrame:
     )
 
 
-def sample_video_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
-    """Frame sampling requires an H.264/H.265 decoder, absent from this
-    environment — the documented stub (build brief: 'STUB the decode
-    step'). The Spark-side plumbing (schema, batching, partitioning) is
-    the same as :func:`decode_video_meta`, which is real and tested."""
-    raise NotImplementedError(
-        "video frame decode needs an external codec (H.264/H.265) not "
-        "present in this environment; container metadata via "
-        "decode_video_meta is fully implemented"
+VIDEO_FRAME_SCHEMA = (
+    "url string, warc_ts timestamp, frame_idx int, t_ms int, width int, "
+    "height int, sha256 string, feat array<float>"
+)
+
+
+def sample_video_frames(df: DataFrame, every_ms: int = 1000,
+                        dim: int = 8) -> DataFrame:
+    """Time-strided frame sampling with REAL pixel decode for Motion-JPEG
+    AVI — each ``00dc`` chunk of a RIFF ``vids``/``MJPG`` stream is one
+    complete T.81 JPEG, so ``operators/jpegcodec.py`` decodes actual
+    frames with no external codec. One output row per sampled frame:
+    the frame's index, its timestamp from the container's
+    ``dwMicroSecPerFrame``, decoded dimensions, a content hash, and the
+    per-channel pixel-stats feature vector (same encoder the image path
+    uses).
+
+    Sampling picks every ``ceil(every_ms / frame_period)``-th frame (at
+    least stride 1), so ``every_ms=1000`` on a 10 fps stream keeps frames
+    0, 10, 20, … — only SAMPLED frames are Huffman-decoded; skipped
+    frames cost one RIFF header read.
+
+    Payloads in containers that need external codecs (MP4/H.264, VP9, …)
+    and undecodable/truncated payloads yield zero frame rows rather than
+    failing the batch (poison-row discipline; container-level metadata
+    for MP4 still comes from :func:`decode_video_meta`). Same 100 TB
+    rules as the image path: frames are decoded where the payload was
+    read via ``mapInPandas``, only narrow derived columns come out, and
+    the media bytes never cross a shuffle."""
+    from go_bqloader_spark.operators import jpegcodec as jc
+    from go_bqloader_spark.operators import mediacodecs as mc
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in media_batch_iter(batches):
+            rows: dict[str, list] = {
+                "url": [], "warc_ts": [], "frame_idx": [], "t_ms": [],
+                "width": [], "height": [], "sha256": [], "feat": [],
+            }
+            for url, ts, payload in zip(
+                pdf["url"], pdf["warc_ts"], pdf["payload"]
+            ):
+                if payload is None:
+                    continue
+                b = bytes(payload)
+                if not mc.is_avi(b):
+                    continue
+                try:
+                    meta = mc.decode_avi_meta(b)
+                except ValueError:
+                    continue
+                period_ms = meta["micro_per_frame"] / 1000.0
+                stride = (
+                    max(1, -(-every_ms // max(period_ms, 1e-9)))
+                    if period_ms > 0 else 1
+                )
+                for i, frame in enumerate(mc.iter_avi_frames(b)):
+                    if i % int(stride):
+                        continue
+                    try:
+                        w, h, ch, px = jc.decode_jpeg(frame)
+                    except (ValueError, NotImplementedError):
+                        continue  # poison frame: skip it, keep the rest
+                    rows["url"].append(url)
+                    rows["warc_ts"].append(ts)
+                    rows["frame_idx"].append(i)
+                    rows["t_ms"].append(int(i * period_ms))
+                    rows["width"].append(w)
+                    rows["height"].append(h)
+                    rows["sha256"].append(hashlib.sha256(frame).hexdigest())
+                    rows["feat"].append(
+                        mc.channel_stats_features(w, h, ch, px)[:dim]
+                    )
+            # explicit dtypes: an all-skipped batch must still emit
+            # Arrow-castable empty columns (a bare empty DataFrame
+            # defaults to float64, which can't cast to timestamp)
+            yield pd.DataFrame({
+                "url": pd.Series(rows["url"], dtype="object"),
+                "warc_ts": pd.Series(rows["warc_ts"],
+                                     dtype="datetime64[us]"),
+                "frame_idx": pd.Series(rows["frame_idx"], dtype="int32"),
+                "t_ms": pd.Series(rows["t_ms"], dtype="int32"),
+                "width": pd.Series(rows["width"], dtype="int32"),
+                "height": pd.Series(rows["height"], dtype="int32"),
+                "sha256": pd.Series(rows["sha256"], dtype="object"),
+                "feat": pd.Series(rows["feat"], dtype="object"),
+            })
+
+    return df.select("url", "warc_ts", "payload").mapInPandas(
+        fn, VIDEO_FRAME_SCHEMA
     )

@@ -439,17 +439,58 @@ def test_mp4_meta_roundtrip_and_edge_boxes():
         decode_mp4_meta(b"\x00" * 32)
 
 
-def test_video_meta_mapinpandas_and_frame_stub(spark):
-    from go_bqloader_spark.operators.mediacodecs import write_mp4_skeleton
-    from go_bqloader_spark.operators.multimodal import (
-        decode_video_meta, sample_video_frames,
+def _mjpeg_avi(n_frames=6, size=16, fps=10, progressive_at=None):
+    """n_frames solid-gray JPEGs (frame i has pixel value i*40) in an
+    MJPEG AVI; optionally one frame encoded progressive (SOF2)."""
+    import numpy as np
+
+    from go_bqloader_spark.operators.jpegcodec import (
+        encode_jpeg, encode_jpeg_progressive,
+    )
+    from go_bqloader_spark.operators.mediacodecs import write_avi_mjpeg
+
+    frames = []
+    for i in range(n_frames):
+        px = np.full((size, size, 3), i * 40, dtype=np.uint8).tobytes()
+        enc = (encode_jpeg_progressive if i == progressive_at
+               else encode_jpeg)
+        frames.append(enc(size, size, 3, px))
+    return write_avi_mjpeg(frames, size, size, fps=fps), frames
+
+
+def test_avi_mjpeg_container_roundtrip():
+    from go_bqloader_spark.operators.jpegcodec import decode_jpeg
+    from go_bqloader_spark.operators.mediacodecs import (
+        decode_avi_meta, is_avi, iter_avi_frames,
     )
 
+    avi, frames = _mjpeg_avi(n_frames=5, size=16, fps=25)
+    assert is_avi(avi) and not is_avi(b"RIFF\x04\x00\x00\x00WAVE")
+    m = decode_avi_meta(avi)
+    assert (m["n_frames"], m["width"], m["height"]) == (5, 16, 16)
+    assert m["micro_per_frame"] == 40000 and m["duration_ms"] == 200
+    assert m["handlers"] == [("vids", "MJPG")] and m["has_video"]
+    got = list(iter_avi_frames(avi))
+    assert got == frames  # byte-exact chunk extraction, odd sizes padded
+    w, h, _ch, _px = decode_jpeg(got[3])
+    assert (w, h) == (16, 16)
+    with pytest.raises(ValueError):
+        decode_avi_meta(b"\x00" * 32)
+    # truncated container: the RIFF walk stops, no raise
+    assert list(iter_avi_frames(avi[: len(avi) // 2])) != frames
+
+
+def test_video_meta_mapinpandas(spark):
+    from go_bqloader_spark.operators.mediacodecs import write_mp4_skeleton
+    from go_bqloader_spark.operators.multimodal import decode_video_meta
+
+    avi, _ = _mjpeg_avi(n_frames=4, size=16, fps=10)
     rows = [
         ("u1", None, bytearray(write_mp4_skeleton(640, 360, 12500,
                                                   with_audio=True))),
         ("u2", None, bytearray(b"not a video at all")),
         ("u3", None, None),  # tombstone
+        ("u4", None, bytearray(avi)),
     ]
     df = spark.createDataFrame(
         rows, "url string, warc_ts timestamp, payload binary"
@@ -460,9 +501,45 @@ def test_video_meta_mapinpandas_and_frame_stub(spark):
         "video/mp4", 640, 360, 12500, True)
     assert out["u2"]["mime"] is None and out["u2"]["n_bytes"] == 18
     assert out["u3"]["mime"] is None and out["u3"]["n_bytes"] is None
-    # frame sampling is the documented stub
-    with pytest.raises(NotImplementedError, match="frame decode"):
-        sample_video_frames(df)
+    assert (out["u4"]["mime"], out["u4"]["brand"], out["u4"]["width"],
+            out["u4"]["duration_ms"], out["u4"]["has_video"],
+            out["u4"]["n_tracks"]) == (
+        "video/x-msvideo", "MJPG", 16, 400, True, 1)
+
+
+def test_sample_video_frames_real_decode(spark):
+    """MJPEG-AVI frames decode for real: time-strided sampling, correct
+    per-frame timestamps, and features computed from the decoded pixels
+    (frame i is solid gray i*40 → feature mean tracks it). MP4 (no H.264
+    decoder) and poison payloads yield zero rows, not task failures."""
+    from go_bqloader_spark.operators.mediacodecs import write_mp4_skeleton
+    from go_bqloader_spark.operators.multimodal import sample_video_frames
+
+    # one frame progressive — both T.81 paths feed the video pipeline
+    avi, _ = _mjpeg_avi(n_frames=6, size=16, fps=10, progressive_at=3)
+    rows = [
+        ("v1", None, bytearray(avi)),
+        ("v2", None, bytearray(write_mp4_skeleton(320, 240, 5000))),
+        ("v3", None, bytearray(avi[:40])),  # truncated AVI
+        ("v4", None, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, payload binary"
+    )
+    # 10 fps → 100 ms/frame; every 300 ms → stride 3 → frames 0 and 3
+    out = sample_video_frames(df, every_ms=300).collect()
+    assert {r["url"] for r in out} == {"v1"}
+    by_idx = {r["frame_idx"]: r for r in out}
+    assert sorted(by_idx) == [0, 3]
+    assert by_idx[0]["t_ms"] == 0 and by_idx[3]["t_ms"] == 300
+    assert by_idx[3]["width"] == 16 and by_idx[3]["height"] == 16
+    # feat[0] is the first-channel mean scaled to [-1,1]: frame 0 (solid
+    # 0) ≈ -1, frame 3 (solid 120) ≈ 120/255*2-1 (flat-quant fixture
+    # JPEG is near-lossless)
+    assert abs(by_idx[0]["feat"][0] - (-1.0)) < 0.02
+    assert abs(by_idx[3]["feat"][0] - (120 / 255 * 2 - 1)) < 0.02
+    # every_ms below the frame period keeps every frame
+    assert len(sample_video_frames(df, every_ms=50).collect()) == 6
 
 
 def test_jpeg_restart_markers_roundtrip():

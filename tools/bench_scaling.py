@@ -346,9 +346,13 @@ work scales 8→32 at ~0.94 efficiency (measured with parallel md5), but any
 row-shuffle workload is bandwidth-bound past 8 threads on this single
 shared bus. In the real N → 4N *executor* scale-out the criterion targets,
 each added executor brings its own memory channels, NVMe, and NIC, so the
-resource that binds here scales with N there. The primary pair (2→8) is
-the regime where this VM's bus is not binding and wall-clock measures the
-engine; it passes at {primary['scaling_efficiency']}.
+resource that binds here scales with N there. The primary pair
+({n_lo}→{n_hi}) is the regime where this VM's bus is not binding and
+wall-clock measures the engine; this session's efficiency:
+{primary['scaling_efficiency']} best-of
+({"PASS" if result['pass'] else "FAIL"}),
+{primary['median_scaling_efficiency']} median
+({"PASS" if result['pass_median'] else "FAIL"}).
 
 Engine properties that carry to cluster scale: one wide-payload exchange
 per merge (dedup is a within-partition sort + lag filter — bucket=f(url)
