@@ -19,6 +19,15 @@ from go_bqloader_spark.operators.multimodal import (  # noqa: F401
     decode_audio_meta,
     decode_image_meta,
 )
+from go_bqloader_spark.operators.textpipeline import (  # noqa: F401
+    chunk_documents,
+    pack_sequences,
+    paragraph_dedup,
+    pii_scrub,
+    repetition_stats,
+    stratified_sample,
+    tfidf_topk,
+)
 from go_bqloader_spark.operators.similarity import (  # noqa: F401
     cosine_topk,
     hyperplane_lsh_buckets,

@@ -1488,6 +1488,237 @@ KMV_SQL = """
 """
 
 
+# ------------------------------------------------ corpus-prep pipeline
+# (operators/textpipeline.py — paragraph dedup, quality filters,
+# sampling, TF-IDF, PII scrub, sequence packing)
+
+_TP_TOKS_SQL = "list_filter(string_split(text, ' '), x -> x <> '')"
+
+
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style chunk-level dedup over the corpus (20-token chunks,
+    first occurrence wins; see ``operators/textpipeline.paragraph_dedup``
+    for the 100 TB shuffle story: one narrow hash exchange + one doc-id
+    rollup)."""
+    from go_bqloader_spark.operators.textpipeline import paragraph_dedup
+
+    return paragraph_dedup(load(spark, sf_dir, "documents"))
+
+
+PARAGRAPH_DEDUP_SQL = f"""
+    WITH t AS (
+        SELECT doc_id, {_TP_TOKS_SQL} AS toks FROM documents
+    ), c AS (
+        SELECT doc_id,
+               unnest(list_transform(range(0, ((len(toks) - 1) // 20) + 1),
+                   i -> {{'idx': i,
+                          'h': md5(array_to_string(
+                                   list_slice(toks, i * 20 + 1, i * 20 + 20),
+                                   ' '))}})) AS u
+        FROM t WHERE len(toks) > 0
+    ), r AS (
+        SELECT doc_id, u.idx AS chunk_idx,
+               row_number() OVER (PARTITION BY u.h
+                                  ORDER BY doc_id, u.idx) AS rn
+        FROM c
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS kept_chunks,
+           CAST(sum(CASE WHEN rn <> 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS dropped_chunks
+    FROM r GROUP BY doc_id
+"""
+
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality filters (duplicate-token fraction
+    + top-bigram mass), integer-scaled; the boolean flag is emitted as
+    BIGINT 0/1 for hash stability."""
+    from go_bqloader_spark.operators.textpipeline import repetition_stats
+
+    r = repetition_stats(load(spark, sf_dir, "documents"))
+    return r.select(
+        "doc_id", "n_tokens", "dup_ratio_e6", "top_bigram_n",
+        "top_bigram_e6",
+        F.col("low_quality").cast("long").alias("low_quality"),
+    )
+
+
+REPETITION_SQL = f"""
+    WITH t AS (
+        SELECT doc_id, {_TP_TOKS_SQL} AS toks FROM documents
+    ), b AS (
+        SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+               CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+               unnest(list_transform(range(1, len(toks)),
+                   i -> concat(toks[i], ' ', toks[i + 1]))) AS bigram
+        FROM t WHERE len(toks) >= 2
+    ), g AS (
+        SELECT doc_id, n_tokens, n_distinct, bigram, count(*) AS c
+        FROM b GROUP BY ALL
+    ), d AS (
+        SELECT doc_id, n_tokens, n_distinct,
+               CAST(max(c) AS BIGINT) AS top_bigram_n,
+               CAST(sum(c) AS BIGINT) AS n_bigrams
+        FROM g GROUP BY doc_id, n_tokens, n_distinct
+    )
+    SELECT doc_id, n_tokens,
+           (n_tokens - n_distinct) * 1000000 // n_tokens AS dup_ratio_e6,
+           top_bigram_n,
+           top_bigram_n * 1000000 // n_bigrams AS top_bigram_e6,
+           CAST(CASE WHEN (n_tokens - n_distinct) * 1000000 // n_tokens
+                          > 300000
+                       OR top_bigram_n * 1000000 // n_bigrams > 180000
+                     THEN 1 ELSE 0 END AS BIGINT) AS low_quality
+    FROM d
+"""
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source stratified sampling (md5 draw vs a
+    seeded per-stratum rate) — zero shuffles, reproducible on any
+    cluster size / retry."""
+    from go_bqloader_spark.operators.textpipeline import stratified_sample
+
+    s = stratified_sample(load(spark, sf_dir, "documents"), "source")
+    return s.select(
+        "doc_id", "source", F.col("_rate_e6").alias("rate_e6")
+    )
+
+
+STRATIFIED_SAMPLE_SQL = """
+    WITH r AS (
+        SELECT doc_id, source,
+               (CAST(concat('0x', substr(md5(concat('rate:', source)), 1, 13))
+                     AS BIGINT) % 500000) + 100000 AS rate_e6,
+               CAST(concat('0x', substr(md5(concat('samp:',
+                        CAST(doc_id AS VARCHAR))), 1, 13))
+                    AS BIGINT) % 1000000 AS draw
+        FROM documents
+    )
+    SELECT doc_id, source, rate_e6 FROM r WHERE draw < rate_e6
+"""
+
+
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 salient terms by integer TF-IDF surrogate
+    (``tf * ((N * 1e6) DIV df)`` — monotone in N/df, bit-exact)."""
+    from go_bqloader_spark.operators.textpipeline import tfidf_topk
+
+    return tfidf_topk(load(spark, sf_dir, "documents"), k=3)
+
+
+TFIDF_SQL = f"""
+    WITH t AS (
+        SELECT doc_id, {_TP_TOKS_SQL} AS toks FROM documents
+    ), n AS (
+        SELECT count(*) AS n_docs FROM t WHERE len(toks) > 0
+    ), tfc AS (
+        SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+        FROM (SELECT doc_id, unnest(toks) AS token FROM t)
+        GROUP BY doc_id, token
+    ), dfc AS (
+        SELECT token, CAST(count(*) AS BIGINT) AS df
+        FROM (SELECT doc_id, unnest(list_distinct(toks)) AS token FROM t)
+        GROUP BY token
+    ), s AS (
+        SELECT tfc.doc_id, tfc.token, tf, df,
+               tf * ((n.n_docs * 1000000) // df) AS score_e6
+        FROM tfc JOIN dfc USING (token) CROSS JOIN n
+    ), r AS (
+        SELECT *, row_number() OVER (PARTITION BY doc_id
+                   ORDER BY score_e6 DESC, token) AS rank
+        FROM s
+    )
+    SELECT doc_id, token, tf, df, score_e6, rank FROM r WHERE rank <= 3
+"""
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detect + redact parity: deterministic emails/phones are
+    planted into the synthetic text (it contains none), then counted and
+    redacted; the redacted text is emitted as its md5 so byte-level
+    redaction parity is hash-checked without shipping the text."""
+    from go_bqloader_spark.operators.textpipeline import pii_scrub
+
+    d = load(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com now"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 11 == 0, F.lit(" call 415-555-0134 today")
+            ).otherwise(F.lit("")),
+        ),
+    )
+    return pii_scrub(d).select(
+        "doc_id", "n_emails", "n_phones",
+        F.md5(F.col("redacted")).alias("redacted_md5"),
+    )
+
+
+PII_SCRUB_SQL = """
+    WITH t AS (
+        SELECT doc_id,
+               concat(text,
+                   CASE WHEN doc_id % 7 = 0
+                        THEN concat(' contact user', CAST(doc_id AS VARCHAR),
+                                    '@example.com now')
+                        ELSE '' END,
+                   CASE WHEN doc_id % 11 = 0
+                        THEN ' call 415-555-0134 today' ELSE '' END) AS t2
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t2,
+                '[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z][a-z]+')) AS BIGINT)
+               AS n_emails,
+           CAST(len(regexp_extract_all(t2,
+                '[0-9]{3}-[0-9]{3,4}-[0-9]{4}')) AS BIGINT) AS n_phones,
+           md5(regexp_replace(regexp_replace(t2,
+                '[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z][a-z]+', '<EMAIL>', 'g'),
+                '[0-9]{3}-[0-9]{3,4}-[0-9]{4}', '<PHONE>', 'g'))
+               AS redacted_md5
+    FROM t
+"""
+
+
+def q_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-stream sequence packing (concat-then-cut at 512 tokens,
+    64-way sharded so no global sort exists at any scale)."""
+    from go_bqloader_spark.operators.textpipeline import pack_sequences
+
+    return pack_sequences(load(spark, sf_dir, "documents"), capacity=512,
+                          n_shards=64)
+
+
+SEQ_PACKING_SQL = f"""
+    WITH t AS (
+        SELECT doc_id, doc_id % 64 AS shard,
+               CAST(len({_TP_TOKS_SQL}) AS BIGINT) AS n_tokens
+        FROM documents
+    ), p AS (
+        SELECT doc_id, shard, n_tokens,
+               sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM t WHERE n_tokens > 0
+    )
+    SELECT shard, CAST((cum - n_tokens) // 512 AS BIGINT) AS seq_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           min(doc_id) AS first_doc,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+    FROM p GROUP BY shard, CAST((cum - n_tokens) // 512 AS BIGINT)
+"""
+
+
 def q_windowed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling event-time windows (the streaming metrics aggregation of
     streaming/windows.py, run in batch mode for oracle checkability)."""
@@ -1685,6 +1916,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_token_stats": q_bpe_token_stats,
     "vocab_topk": q_vocab_topk,
     "kmv_distinct": q_kmv_distinct,
+    "paragraph_dedup": q_paragraph_dedup,
+    "repetition_stats": q_repetition_stats,
+    "stratified_sample": q_stratified_sample,
+    "tfidf_topk": q_tfidf_topk,
+    "pii_scrub": q_pii_scrub,
+    "seq_packing": q_seq_packing,
     "windowed_metrics": q_windowed_metrics,
     "sessionize": q_sessionize,
     "heavy_hitters": q_heavy_hitters,
@@ -1724,6 +1961,12 @@ ORACLE_SQL: dict[str, str] = {
     "bpe_token_stats": BPE_TOKEN_SQL,
     "vocab_topk": VOCAB_SQL,
     "kmv_distinct": KMV_SQL,
+    "paragraph_dedup": PARAGRAPH_DEDUP_SQL,
+    "repetition_stats": REPETITION_SQL,
+    "stratified_sample": STRATIFIED_SAMPLE_SQL,
+    "tfidf_topk": TFIDF_SQL,
+    "pii_scrub": PII_SCRUB_SQL,
+    "seq_packing": SEQ_PACKING_SQL,
     "windowed_metrics": WINDOWED_SQL,
     "sessionize": SESSIONIZE_SQL,
     "heavy_hitters": HEAVY_SQL,
