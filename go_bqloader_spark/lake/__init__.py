@@ -1,2 +1,7 @@
-from go_bqloader_spark.lake.maintenance import DedupReport, near_dup_rewrite  # noqa: F401
+from go_bqloader_spark.lake.maintenance import (  # noqa: F401
+    DedupReport,
+    QualityReport,
+    near_dup_rewrite,
+    quality_rewrite,
+)
 from go_bqloader_spark.lake.table import LakeTable, MergeStats  # noqa: F401

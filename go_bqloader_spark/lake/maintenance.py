@@ -84,6 +84,88 @@ def near_dup_rewrite(
     return DedupReport(scanned=scanned, removed=removed, merge=stats)
 
 
+@dataclass(frozen=True)
+class QualityReport:
+    """Outcome of one quality maintenance pass."""
+
+    scanned: int
+    removed: int
+    n_repetitive: int
+    n_chunk_dup: int
+    merge: MergeStats
+
+
+def quality_rewrite(
+    table: LakeTable,
+    text_col: str = "text",
+    batch_id: int = 0,
+    query_id: str = "quality_rewrite",
+    dup_ratio_max_e6: int = 300_000,
+    top_bigram_max_e6: int = 180_000,
+    dup_chunk_max_e6: int = 500_000,
+    chunk_tokens: int = 20,
+) -> QualityReport:
+    """Quality maintenance: tombstone documents that fail the corpus-prep
+    filters (``operators/textpipeline.py``) — Gopher-style repetition
+    (duplicate-token / top-bigram mass) or CCNet-style chunk-level
+    duplication (more than ``dup_chunk_max_e6`` ppm of a doc's chunks
+    already seen earlier in the corpus).
+
+    Same contract as :func:`near_dup_rewrite`: removals go THROUGH
+    ``LakeTable.merge`` as tombstoned 'D' changes, so the pass is
+    exactly-once under the ``(query_id, batch_id)`` ledger, resumable,
+    lineage-visible, and time-travels. The filter pipeline is evaluated
+    ONCE (checkpointed victims frame); the delete builder re-reads only
+    narrow key + seq columns (parquet-pruned)."""
+    from go_bqloader_spark.operators.textpipeline import (
+        paragraph_dedup,
+        repetition_stats,
+    )
+
+    m = table.manifest()
+    key = m["key"]
+    live = table.read()
+    docs = live.filter(F.col(text_col).isNotNull()).select(
+        F.concat_ws("\x00", *key).alias("__id"), F.col(text_col)
+    )
+    rep = repetition_stats(
+        docs, id_col="__id", text_col=text_col,
+        dup_ratio_max_e6=dup_ratio_max_e6,
+        top_bigram_max_e6=top_bigram_max_e6,
+    ).select("__id", "low_quality")
+    chunks = paragraph_dedup(
+        docs, id_col="__id", text_col=text_col, chunk_tokens=chunk_tokens
+    ).select(
+        "__id",
+        (
+            F.expr("dropped_chunks * 1000000 DIV n_chunks")
+            > F.lit(dup_chunk_max_e6)
+        ).alias("chunk_dup"),
+    )
+    verdicts = (
+        docs.select("__id")
+        .join(rep, "__id", "left")
+        .join(chunks, "__id", "left")
+        .select(
+            "__id",
+            F.coalesce("low_quality", F.lit(False)).alias("low_quality"),
+            F.coalesce("chunk_dup", F.lit(False)).alias("chunk_dup"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    scanned = verdicts.count()
+    n_rep = verdicts.filter("low_quality").count()
+    n_dup = verdicts.filter("chunk_dup").count()
+    losers = verdicts.filter("low_quality OR chunk_dup").select("__id")
+    changes = _victim_deletes(table, m, losers)
+    stats = table.merge(changes, batch_key=(query_id, batch_id))
+    removed = 0 if stats.skipped else stats.rows_deleted
+    return QualityReport(
+        scanned=scanned, removed=removed, n_repetitive=n_rep,
+        n_chunk_dup=n_dup, merge=stats,
+    )
+
+
 def _victim_deletes(table: LakeTable, m: dict, losers: DataFrame) -> DataFrame:
     """Delete changes for the loser ids: a NARROW re-read of the table —
     key columns + ``_seq`` only, so parquet column pruning keeps the wide

@@ -3,6 +3,10 @@ from go_bqloader_spark.streaming.dedup import (  # noqa: F401
     content_fingerprint,
     dedup_stream,
 )
+from go_bqloader_spark.streaming.quality import (  # noqa: F401
+    pii_scrub_projector,
+    quality_filter_projector,
+)
 from go_bqloader_spark.streaming.pipeline import (  # noqa: F401
     run_cdc_stream,
     start_cdc_stream,

@@ -473,3 +473,85 @@ def test_ingest_content_dedup_foreachbatch(spark, tmp_path):
     phys = kept._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in phys and "LeftSemi" in phys
     assert "Exchange hashpartitioning" not in phys
+
+
+def test_cdc_stream_with_quality_filter_projector(spark, tmp_path):
+    """quality_filter_projector inside foreachBatch: a Gopher-flagged
+    repetitive page never reaches the table; clean pages, NULL-text rows,
+    and tombstones pass."""
+    from go_bqloader_spark.streaming import (
+        quality_filter_projector, run_cdc_stream,
+    )
+
+    src = str(tmp_path / "feed")
+    clean = " ".join(f"w{i}" for i in range(30))
+    rows = [
+        ("U", 1, "https://a.ex/p", "2024-01-01 00:00:01", clean, "en"),
+        ("U", 2, "https://s.ex/spam", "2024-01-01 00:00:02",
+         "spam spam spam spam spam spam spam spam", "en"),
+        ("U", 3, "https://n.ex/null", "2024-01-01 00:00:03", None, "en"),
+        # tombstone whose before-image text is ALSO repetitive: must apply
+        ("U", 4, "https://d.ex/gone", "2024-01-01 00:00:04", clean, "en"),
+        ("D", 5, "https://d.ex/gone", "2024-01-01 00:00:04",
+         "spam spam spam spam spam spam spam spam", "en"),
+    ]
+    df = spark.createDataFrame(
+        rows, "op string, seq bigint, url string, ts string, text string, lang string"
+    ).select("op", "seq", "url", F.to_timestamp("ts").alias("warc_ts"),
+             F.lit(None).cast("binary").alias("html"), "text", "lang")
+    df.repartition(1).write.mode("overwrite").parquet(src)
+
+    t = _mk_table(spark, tmp_path)
+    run_cdc_stream(
+        spark, src, t, str(tmp_path / "ck"),
+        projector=quality_filter_projector(), timeout_sec=180,
+    )
+    live = sorted(r["url"] for r in t.read().select("url").collect())
+    assert live == ["https://a.ex/p", "https://n.ex/null"]
+
+
+def test_cdc_stream_with_pii_scrub_projector(spark, tmp_path):
+    """pii_scrub_projector: emails/phones are redacted from the payload at
+    ingest AND the text byte-invariant text == extract_text(html) still
+    holds on every stored row (text is re-derived from scrubbed html)."""
+    from go_bqloader_spark.functions.webtext import extract_text, make_html
+    from go_bqloader_spark.streaming import pii_scrub_projector, run_cdc_stream
+
+    src = str(tmp_path / "feed")
+    rows = [
+        ("U", 1, "https://a.ex/p", "2024-01-01 00:00:01",
+         "contact", "mail me at alice@example.org or 415-555-0134"),
+        ("U", 2, "https://b.ex/q", "2024-01-01 00:00:02",
+         "clean", "nothing sensitive here"),
+    ]
+    base = spark.createDataFrame(
+        rows, "op string, seq bigint, url string, ts string, "
+              "title string, body string",
+    )
+    html = make_html(F.col("title"), F.col("body"))
+    df = base.select(
+        "op", "seq", "url", F.to_timestamp("ts").alias("warc_ts"),
+        html.alias("html"), extract_text(html).alias("text"),
+        F.lit("en").alias("lang"),
+    )
+    df.repartition(1).write.mode("overwrite").parquet(src)
+
+    t = _mk_table(spark, tmp_path)
+    run_cdc_stream(
+        spark, src, t, str(tmp_path / "ck"),
+        projector=pii_scrub_projector(), timeout_sec=180,
+    )
+    out = {r["url"]: r for r in t.read().collect()}
+    a = out["https://a.ex/p"]
+    assert "alice@example.org" not in a["text"]
+    assert "415-555-0134" not in a["text"]
+    assert "xEMAILx" in a["text"] and "xPHONEx" in a["text"]
+    assert "alice@example.org" not in bytes(a["html"]).decode("utf-8")
+    # byte-invariant preserved on every stored row
+    bad = t.read().where(
+        F.col("html").isNotNull()
+        & (F.col("text") != extract_text(F.col("html")))
+    ).count()
+    assert bad == 0
+    # make_html renders the title twice (title tag + h1)
+    assert out["https://b.ex/q"]["text"] == "clean clean nothing sensitive here"
