@@ -75,16 +75,19 @@ def chunk_documents(
     documents produce no chunks (``sequence(0, -1)`` would descend —
     Spark gotcha — so they are filtered out first)."""
     c = chunk_tokens
-    toks = _toks(text_col)
+    # tokenize ONCE into a column: CollapseProject keeps a non-cheap
+    # multiply-referenced expression in its own projection, so the
+    # split+filter runs once per row instead of once per chunk index
+    t = df.select(
+        F.col(id_col), _toks(text_col).alias("__toks")
+    ).where(F.size("__toks") > 0)
     chunks = F.expr(
-        f"transform(sequence(0, (size({_TOKS.format(col=text_col)}) - 1) div {c}),"
-        f" i -> concat_ws(' ', slice({_TOKS.format(col=text_col)}, i * {c} + 1, {c})))"
+        f"transform(sequence(0, (size(__toks) - 1) div {c}),"
+        f" i -> concat_ws(' ', slice(__toks, i * {c} + 1, {c})))"
     )
-    return (
-        df.where(F.size(toks) > 0)
-        .select(F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "chunk"))
-        .withColumn("chunk_md5", F.md5(F.col("chunk")))
-    )
+    return t.select(
+        F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "chunk")
+    ).withColumn("chunk_md5", F.md5(F.col("chunk")))
 
 
 def paragraph_dedup(
@@ -138,15 +141,17 @@ def repetition_stats(
     the exact rows this filter hunts — before the shuffle) and one on
     ``id`` for the doc rollup. Nothing global; skew is bounded by
     document length, not corpus size."""
-    toks = _TOKS.format(col=text_col)
+    # tokenize ONCE (see chunk_documents): the bigram lambda indexes the
+    # materialized array instead of re-splitting the text per bigram
+    t = df.select(F.col(id_col), _toks(text_col).alias("__toks"))
     grams = (
-        f"transform(sequence(1, size({toks}) - 1),"
-        f" i -> concat(element_at({toks}, i), ' ', element_at({toks}, i + 1)))"
+        "transform(sequence(1, size(__toks) - 1),"
+        " i -> concat(element_at(__toks, i), ' ', element_at(__toks, i + 1)))"
     )
-    base = df.select(
+    base = t.select(
         F.col(id_col),
-        F.size(_toks(text_col)).cast("long").alias("n_tokens"),
-        F.size(F.array_distinct(_toks(text_col))).cast("long").alias("n_distinct"),
+        F.size("__toks").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("__toks")).cast("long").alias("n_distinct"),
         F.explode(F.expr(grams)).alias("bigram"),
     ).where(F.col("n_tokens") >= 2)
     per_gram = base.groupBy(id_col, "n_tokens", "n_distinct", "bigram").agg(
@@ -238,7 +243,12 @@ def tfidf_topk(
     for open-vocabulary web text. Top-k is a bounded window on ``id``
     (WindowGroupLimit prunes to k rows per doc pre-shuffle)."""
     toks = _toks(text_col)
-    n_docs = df.where(F.size(toks) > 0).select(id_col).distinct().count()
+    # corpus size stays IN the plan (1-row agg cross-joined in, the KMV
+    # shape) — no driver-side count action in the query builder
+    n_docs = (
+        df.where(F.size(toks) > 0)
+        .agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
+    )
     tf = (
         df.select(F.col(id_col), F.explode(toks).alias("token"))
         .groupBy(id_col, "token")
@@ -249,10 +259,10 @@ def tfidf_topk(
         .groupBy("token")
         .agg(F.count(F.lit(1)).cast("long").alias("df"))
     )
-    # BIGINT literal: N * 1e6 overflows INT32 past ~2k documents
-    scored = tf.join(dfreq, "token").withColumn(
+    # BIGINT arithmetic: N * 1e6 overflows INT32 past ~2k documents
+    scored = tf.join(dfreq, "token").crossJoin(F.broadcast(n_docs)).withColumn(
         "score_e6",
-        F.expr(f"tf * ((CAST({n_docs} AS BIGINT) * 1000000) DIV df)"),
+        F.expr("tf * ((CAST(n_docs AS BIGINT) * 1000000) DIV df)"),
     )
     w = W.partitionBy(id_col).orderBy(F.col("score_e6").desc(), F.col("token"))
     return (

@@ -1719,6 +1719,104 @@ SEQ_PACKING_SQL = f"""
 """
 
 
+def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization parity (``functions/urlnorm.py``): synthetic
+    URL variants (case, default ports, fragments, tracking params,
+    trailing slash) are derived deterministically from doc_id, then
+    canonicalized — the full regex pipeline is compared byte-for-byte
+    against the oracle, plus the canonical key each variant collapses
+    to. Pure projection (zero shuffles at any scale)."""
+    from go_bqloader_spark.functions.urlnorm import canonical_url
+
+    d = load(spark, sf_dir, "documents")
+    host = F.concat(F.lit("ex"), (F.col("doc_id") % 40).cast("string"))
+    i = F.col("doc_id").cast("string")
+    url = (
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.lit("HTTP://"), F.upper(host), F.lit(".ORG/Path/"),
+                     i, F.lit("?utm_source=x&id="),
+                     (F.col("doc_id") % 7).cast("string")),
+        )
+        .when(
+            F.col("doc_id") % 5 == 1,
+            F.concat(F.lit("http://"), host, F.lit(".org:80/Path/"), i,
+                     F.lit("#frag")),
+        )
+        .when(
+            F.col("doc_id") % 5 == 2,
+            F.concat(F.lit("https://"), F.initcap(host),
+                     F.lit(".org:443/p"), i, F.lit("?gclid=abc")),
+        )
+        .when(
+            F.col("doc_id") % 5 == 3,
+            F.concat(F.lit("https://"), host, F.lit(".org/")),
+        )
+        .otherwise(
+            F.concat(F.lit("http://"), host, F.lit(".org/a"), i,
+                     F.lit("?id=1&fbclid=z&b=2")),
+        )
+    )
+    return d.select(
+        "doc_id",
+        url.alias("url"),
+        canonical_url(url).alias("canon_url"),
+    )
+
+
+URL_CANON_SQL = """
+    WITH v AS (
+        SELECT doc_id,
+               CASE doc_id % 5
+                 WHEN 0 THEN concat('HTTP://', upper(host), '.ORG/Path/', i,
+                                    '?utm_source=x&id=',
+                                    CAST(doc_id % 7 AS VARCHAR))
+                 WHEN 1 THEN concat('http://', host, '.org:80/Path/', i,
+                                    '#frag')
+                 WHEN 2 THEN concat('https://',
+                                    concat(upper(substr(host, 1, 1)),
+                                           substr(host, 2)),
+                                    '.org:443/p', i, '?gclid=abc')
+                 WHEN 3 THEN concat('https://', host, '.org/')
+                 ELSE concat('http://', host, '.org/a', i,
+                             '?id=1&fbclid=z&b=2')
+               END AS url
+        FROM (SELECT doc_id,
+                     concat('ex', CAST(doc_id % 40 AS VARCHAR)) AS host,
+                     CAST(doc_id AS VARCHAR) AS i
+              FROM documents)
+    ), s1 AS (
+        SELECT doc_id, url, regexp_replace(url, '#.*', '', 'g') AS u FROM v
+    ), s2 AS (
+        SELECT doc_id, url,
+               concat(lower(regexp_extract(u,
+                          '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1)),
+                      substr(u, len(regexp_extract(u,
+                          '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1)) + 1))
+                   AS u
+        FROM s1
+    ), s3 AS (
+        SELECT doc_id, url,
+               regexp_replace(regexp_replace(u,
+                   '^(http://[^/?#:]+):80($|[/?])', '\\1\\2'),
+                   '^(https://[^/?#:]+):443($|[/?])', '\\1\\2') AS u
+        FROM s2
+    ), s4 AS (
+        SELECT doc_id, url,
+            regexp_replace(regexp_replace(regexp_replace(regexp_replace(u,
+                '&(utm_[a-z]+|gclid|fbclid|ref)=[^&]*', '', 'g'),
+                '[?](utm_[a-z]+|gclid|fbclid|ref)=[^&]*&', '?', 'g'),
+                '[?](utm_[a-z]+|gclid|fbclid|ref)=[^&]*$', '', 'g'),
+                '[?&]$', '', 'g') AS u
+        FROM s3
+    )
+    SELECT doc_id, url,
+           regexp_replace(u, '^([a-z][a-z0-9+.-]*://[^/?#]+)/$', '\\1', 'g')
+               AS canon_url
+    FROM s4
+"""
+
+
 def q_windowed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling event-time windows (the streaming metrics aggregation of
     streaming/windows.py, run in batch mode for oracle checkability)."""
@@ -1922,6 +2020,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tfidf_topk": q_tfidf_topk,
     "pii_scrub": q_pii_scrub,
     "seq_packing": q_seq_packing,
+    "url_canonicalize": q_url_canonicalize,
     "windowed_metrics": q_windowed_metrics,
     "sessionize": q_sessionize,
     "heavy_hitters": q_heavy_hitters,
@@ -1967,6 +2066,7 @@ ORACLE_SQL: dict[str, str] = {
     "tfidf_topk": TFIDF_SQL,
     "pii_scrub": PII_SCRUB_SQL,
     "seq_packing": SEQ_PACKING_SQL,
+    "url_canonicalize": URL_CANON_SQL,
     "windowed_metrics": WINDOWED_SQL,
     "sessionize": SESSIONIZE_SQL,
     "heavy_hitters": HEAVY_SQL,

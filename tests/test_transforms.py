@@ -92,3 +92,58 @@ def test_payment_month_from_path(spark):
         for r in df.select(payment_month_from_path(F.col("p")).alias("out")).collect()
     ]
     assert got == ["2021-01-01", None]
+
+
+class TestCanonicalUrl:
+    """functions/urlnorm.py — key normalization for the crawl CDC feed."""
+
+    CASES = [
+        # fragment dropped
+        ("http://a.ex/p#sec", "http://a.ex/p"),
+        # scheme+host lowercased, path case preserved
+        ("HTTP://A.EX/Path/Q", "http://a.ex/Path/Q"),
+        # default ports dropped (both schemes); non-default kept
+        ("http://a.ex:80/p", "http://a.ex/p"),
+        ("https://a.ex:443/p?x=1", "https://a.ex/p?x=1"),
+        ("http://a.ex:8080/p", "http://a.ex:8080/p"),
+        # tracking params stripped wherever they sit; others preserved
+        ("http://a.ex/p?utm_source=t&id=3", "http://a.ex/p?id=3"),
+        ("http://a.ex/p?id=3&utm_medium=m", "http://a.ex/p?id=3"),
+        ("http://a.ex/p?id=1&fbclid=z&b=2", "http://a.ex/p?id=1&b=2"),
+        ("http://a.ex/p?gclid=abc", "http://a.ex/p"),
+        ("http://a.ex/p?utm_a=1&utm_b=2", "http://a.ex/p"),
+        # bare root slash collapsed; deeper trailing slash preserved
+        ("https://a.ex/", "https://a.ex"),
+        ("https://a.ex/dir/", "https://a.ex/dir/"),
+        # everything at once
+        ("HTTPS://A.EX:443/P?utm_x=1&q=2#f", "https://a.ex/P?q=2"),
+    ]
+
+    def test_cases(self, spark):
+        from go_bqloader_spark.functions.urlnorm import canonical_url
+
+        df = spark.createDataFrame(
+            [(i, u) for i, (u, _) in enumerate(self.CASES)], "i int, url string"
+        )
+        got = {r["i"]: r["c"] for r in
+               df.select("i", canonical_url("url").alias("c")).collect()}
+        for i, (u, want) in enumerate(self.CASES):
+            assert got[i] == want, f"{u!r}: {got[i]!r} != {want!r}"
+
+    def test_projector_collapses_equivalent_keys(self, spark):
+        from go_bqloader_spark.functions.urlnorm import canonicalize_projector
+
+        b = spark.createDataFrame(
+            [("U", 1, "http://A.EX/p?utm_s=1"), ("U", 2, "http://a.ex:80/p")],
+            "op string, seq bigint, url string",
+        )
+        urls = {r["url"] for r in canonicalize_projector()(b).collect()}
+        assert urls == {"http://a.ex/p"}
+
+    def test_shuffle_free(self, spark):
+        from go_bqloader_spark.functions.urlnorm import canonical_url
+
+        df = spark.createDataFrame([("http://a.ex/",)], "url string")
+        plan = (df.select(canonical_url("url"))
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "Exchange" not in plan

@@ -1,0 +1,160 @@
+"""End-to-end drive via the production launch path: seeded CDC feed ->
+LakeTable merge (out-of-order split) -> convergence + idempotence + text
+byte-invariant; plus the new MJPEG-AVI frame-sampling path."""
+import tempfile
+
+from pyspark.sql import SparkSession, functions as F
+
+from go_bqloader_spark.sources.datagen import gen_changes, expected_final_state
+from go_bqloader_spark.lake.table import LakeTable
+from go_bqloader_spark.functions.webtext import extract_text
+
+spark = SparkSession.builder.getOrCreate()
+spark.sparkContext.setLogLevel("ERROR")
+
+changes = gen_changes(spark, n_events=50_000, n_urls=8_000, seed=42).cache()
+n = changes.count()
+
+tmp = tempfile.mkdtemp(prefix="gbs_verify_")
+tbl = LakeTable.create(
+    spark, tmp,
+    [("url", "string"), ("warc_ts", "timestamp"), ("html", "binary"),
+     ("text", "string"), ("lang", "string")],
+    key=["url", "warc_ts"], bucket_col="url", n_buckets=8,
+)
+# out-of-order application: second half first
+first = changes.filter(F.col("seq") % 2 == 0)
+second = changes.filter(F.col("seq") % 2 == 1)
+s1 = tbl.merge(second, batch_key=("drive", 1))
+s2 = tbl.merge(first, batch_key=("drive", 2))
+final = tbl.read()
+exp = expected_final_state(changes)
+a = final.select("url", "warc_ts", "text").exceptAll(
+    exp.select("url", "warc_ts", "text"))
+b = exp.select("url", "warc_ts", "text").exceptAll(
+    final.select("url", "warc_ts", "text"))
+assert a.count() == 0 and b.count() == 0, "state mismatch vs expected"
+rows_final = final.count()
+
+# idempotent redelivery
+s3 = tbl.merge(first, batch_key=("drive", 2))
+assert s3.skipped, "redelivered batch must be ledger-skipped"
+assert tbl.read().count() == rows_final
+
+# empty batch
+s4 = tbl.merge(changes.limit(0), batch_key=("drive", 3))
+assert tbl.read().count() == rows_final
+
+# text byte-invariant: text == extract_text(html)
+bad = final.filter(
+    F.col("html").isNotNull()
+    & (F.col("text") != extract_text(F.col("html")))
+).count()
+assert bad == 0, f"{bad} rows violate text byte-invariant"
+
+print(f"DRIVE OK: events={n} final_rows={rows_final} "
+      f"up1={s1.rows_upserted} up2={s2.rows_upserted} skipped_ok idempotent_ok "
+      f"empty_ok text_invariant_ok")
+
+# --- MJPEG-AVI frame-sampling path (new this session) ---
+from go_bqloader_spark.operators import jpegcodec as jc
+from go_bqloader_spark.operators import mediacodecs as mc
+from go_bqloader_spark.operators.multimodal import (
+    decode_video_meta, sample_video_frames)
+
+frames = [jc.encode_jpeg(16, 16, 3, bytes(
+              (x * 16 + y * 3 + f * 40) % 256
+              for y in range(16) for x in range(16) for _ in range(3)))
+          for f in range(12)]
+avi = mc.write_avi_mjpeg(frames, 16, 16, fps=10)
+vdf = spark.createDataFrame(
+    [("http://v/a.avi", None, bytearray(avi)),
+     ("http://v/bad.bin", None, bytearray(b"not a video"))],
+    "url string, warc_ts timestamp, payload binary")
+meta = {r["url"]: r.asDict() for r in decode_video_meta(
+    vdf.withColumnRenamed("payload", "html")
+       .withColumn("warc_ts", F.current_timestamp())
+       .withColumnRenamed("html", "payload")).collect()} \
+    if False else {}
+vmeta = decode_video_meta(vdf).collect()
+byurl = {r["url"]: r for r in vmeta}
+assert byurl["http://v/a.avi"]["mime"] == "video/x-msvideo", byurl
+assert byurl["http://v/a.avi"]["brand"] == "MJPG"
+assert byurl["http://v/a.avi"]["width"] == 16
+assert byurl["http://v/bad.bin"]["mime"] is None
+fr = sample_video_frames(vdf, every_ms=300).collect()
+idxs = sorted(r["frame_idx"] for r in fr)
+assert idxs == [0, 3, 6, 9], idxs
+assert all(r["width"] == 16 and r["height"] == 16 for r in fr)
+assert len({r["sha256"] for r in fr}) == 4
+print(f"AVI OK: meta_brand=MJPG frames={idxs}")
+
+# --- corpus-prep pipeline (textpipeline operators, new) ---
+from go_bqloader_spark.operators.textpipeline import (
+    paragraph_dedup, pii_scrub, repetition_stats, stratified_sample)
+
+docs = spark.createDataFrame(
+    [(1, "b0 b1 b2 b3 b4 b5 b6 b7 b8 b9 b10 b11 b12 b13 b14 b15 b16 b17 "
+         "b18 b19 u1 u2 mail x@y.org"),
+     (2, "b0 b1 b2 b3 b4 b5 b6 b7 b8 b9 b10 b11 b12 b13 b14 b15 b16 b17 "
+         "b18 b19"),
+     (3, "spam spam spam spam spam spam")],
+    "doc_id bigint, text string")
+pd_ = {r["doc_id"]: r for r in paragraph_dedup(docs).collect()}
+assert pd_[1]["kept_chunks"] == 2 and pd_[2]["dropped_chunks"] == 1
+rp = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+assert rp[3]["low_quality"] and not rp[2]["low_quality"]
+sc_ = pii_scrub(docs).filter("doc_id = 1").collect()[0]
+assert sc_["n_emails"] == 1 and "<EMAIL>" in sc_["redacted"]
+samp = stratified_sample(docs.withColumn("source", F.lit("s")), "source")
+assert samp.count() == samp.count()  # deterministic plan executes
+print("TEXTPIPE OK: chunk-dedup, repetition flags, pii redaction, sampling")
+
+# --- corpus hygiene through the CDC path (quality_rewrite + projectors) ---
+from go_bqloader_spark.lake import quality_rewrite
+
+tmp2 = tempfile.mkdtemp(prefix="gbs_q_")
+tq = LakeTable.create(
+    spark, tmp2,
+    [("url", "string"), ("warc_ts", "timestamp"), ("html", "binary"),
+     ("text", "string"), ("lang", "string")],
+    key=["url", "warc_ts"], bucket_col="url", n_buckets=4,
+)
+boiler = " ".join(f"b{i}" for i in range(20))
+rows = [("U", 1, "https://a.ex/1", None, None,
+         boiler + " " + " ".join(f"u{i}" for i in range(40)), "en"),
+        ("U", 2, "https://a.ex/2", None, None, boiler, "en"),
+        ("U", 3, "https://s.ex/1", None, None,
+         "spam spam spam spam spam spam spam spam", "en"),
+        ("U", 4, "https://c.ex/1", None, None,
+         " ".join(f"w{i}" for i in range(30)), "en")]
+tq.merge(spark.createDataFrame(
+    rows, "op string, seq bigint, url string, warc_ts timestamp, "
+          "html binary, text string, lang string"), batch_key=("q", 0))
+qr = quality_rewrite(tq, batch_id=0)
+assert qr.removed == 2 and qr.n_repetitive == 1 and qr.n_chunk_dup == 1
+qr2 = quality_rewrite(tq, batch_id=0)
+assert qr2.merge.skipped
+from go_bqloader_spark.streaming import (
+    pii_scrub_projector, quality_filter_projector)
+b = spark.createDataFrame(
+    [("U", 1, "x", "keep me " + " ".join(f"k{i}" for i in range(10))),
+     ("U", 2, "y", "spam spam spam spam spam spam"),
+     ("D", 3, "z", "spam spam spam spam spam spam")],
+    "op string, seq bigint, url string, text string")
+kept = sorted(r["seq"] for r in quality_filter_projector()(b).collect())
+assert kept == [1, 3], kept
+s = pii_scrub_projector()(spark.createDataFrame(
+    [("U", 1, "u", None, "mail a@b.org now")],
+    "op string, seq bigint, url string, html binary, text string")).collect()[0]
+assert s["text"] == "mail xEMAILx now"
+print(f"HYGIENE OK: quality_rewrite removed={qr.removed} ledger_skip "
+      f"projector_kept={kept} scrubbed")
+
+# --- URL canonicalization (CDC key normalization) ---
+from go_bqloader_spark.functions.urlnorm import canonical_url
+cu = spark.createDataFrame(
+    [("HTTP://A.EX:80/P?utm_s=1&q=2#f",)], "url string"
+).select(canonical_url("url").alias("c")).collect()[0]["c"]
+assert cu == "http://a.ex/P?q=2", cu
+print("URLNORM OK:", cu)
