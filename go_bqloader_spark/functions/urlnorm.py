@@ -60,6 +60,54 @@ def canonical_url(col: Column | str) -> Column:
     return u
 
 
+# Two-level public suffixes under which the registrable domain is THREE
+# labels (a small embedded subset of the well-known public-suffix
+# convention — the full Mozilla PSL is an external dataset this engine
+# cannot ship; the subset covers the high-traffic ccTLD conventions and
+# the heuristic is documented as such). Everything else: two labels.
+_TWO_LEVEL_SUFFIXES = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk",
+    "co.jp", "ne.jp", "or.jp", "ac.jp",
+    "com.au", "net.au", "org.au",
+    "com.br", "com.cn", "com.mx", "com.ar",
+    "co.in", "co.kr", "com.tw", "com.sg", "co.za",
+)
+
+
+def host_of(col: Column | str) -> Column:
+    """Host part of a URL column: the authority, lowercased, with
+    userinfo and port stripped. Pure projection."""
+    u = F.col(col) if isinstance(col, str) else col
+    auth = F.lower(F.regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    auth = F.regexp_replace(auth, "^[^@]*@", "")  # userinfo
+    return F.regexp_replace(auth, ":[0-9]+$", "")  # port
+
+
+def registrable_domain(host: Column | str) -> Column:
+    """Registrable ("eTLD+1") domain of a host column — the key a crawl
+    pipeline rolls pages up to for per-site statistics, politeness caps,
+    and domain-level dedup.
+
+    Heuristic, not PSL-exact: hosts ending in one of the embedded
+    two-level suffixes (``co.uk`` etc., :data:`_TWO_LEVEL_SUFFIXES`) keep
+    their last THREE labels; every other multi-label host keeps its last
+    TWO; single-label hosts (``localhost``) pass through unchanged.
+
+    Pure Catalyst projection (split + slice + concat_ws) — zero shuffles;
+    the rollup that typically follows groups on this narrow string key.
+    """
+    h = F.col(host) if isinstance(host, str) else host
+    labels = F.split(h, "[.]")
+    n = F.size(labels)
+    last2 = F.concat_ws(".", F.slice(labels, -2, 2))
+    last3 = F.concat_ws(".", F.slice(labels, -3, 3))
+    return (
+        F.when((n >= 3) & last2.isin(*_TWO_LEVEL_SUFFIXES), last3)
+        .when(n >= 2, last2)
+        .otherwise(h)
+    )
+
+
 def canonicalize_projector(url_col: str = "url"):
     """Projector for ``start_cdc_stream(projector=...)``: rewrite the
     change key to its canonical form per micro-batch, upstream of the

@@ -46,7 +46,9 @@ __all__ = [
     "stratified_sample",
     "tfidf_topk",
     "pii_scrub",
+    "pack_assign",
     "pack_sequences",
+    "corpus_stats",
 ]
 
 # tokens = non-empty whitespace-split words (same convention as the
@@ -310,6 +312,39 @@ def pii_scrub(
     )
 
 
+def pack_assign(
+    df: DataFrame,
+    capacity: int = 512,
+    n_shards: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document packing assignment: which training sequence each
+    document opens in (see :func:`pack_sequences` for the layout rules).
+    Returns ``(id, shard, n_tokens, seq_id)`` — the frame a shard writer
+    joins back to the payload (``plans/export.py`` does exactly that).
+
+    Scale shape is the packing window's: the only exchange is the narrow
+    ``(shard, id, n_tokens)`` projection, text never shuffles."""
+    base = df.select(
+        F.col(id_col),
+        (F.col(id_col) % n_shards).cast("long").alias("shard"),
+        F.size(_toks(text_col)).cast("long").alias("n_tokens"),
+    ).where(F.col("n_tokens") > 0)
+    w = (
+        W.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    # integer DIV, not `/` + cast: Spark's double->long cast truncates
+    # while other engines round — keep the arithmetic integral throughout
+    return (
+        base.withColumn("_cum", F.sum("n_tokens").over(w))
+        .withColumn("seq_id", F.expr(f"(_cum - n_tokens) DIV {capacity}"))
+        .drop("_cum")
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     capacity: int = 512,
@@ -330,23 +365,58 @@ def pack_sequences(
     the cluster (e.g. 10-100× executors), every shard's window state is
     one running counter and the only exchange is the narrow
     ``(shard, id, n_tokens)`` projection — the text never shuffles."""
-    base = df.select(
-        F.col(id_col),
-        (F.col(id_col) % n_shards).cast("long").alias("shard"),
-        F.size(_toks(text_col)).cast("long").alias("n_tokens"),
-    ).where(F.col("n_tokens") > 0)
-    w = (
-        W.partitionBy("shard")
-        .orderBy(id_col)
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    # integer DIV, not `/` + cast: Spark's double->long cast truncates
-    # while other engines round — keep the arithmetic integral throughout
-    placed = base.withColumn(
-        "_cum", F.sum("n_tokens").over(w)
-    ).withColumn("seq_id", F.expr(f"(_cum - n_tokens) DIV {capacity}"))
+    placed = pack_assign(df, capacity, n_shards, id_col, text_col)
     return placed.groupBy("shard", "seq_id").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.min(id_col).alias("first_doc"),
         F.sum("n_tokens").alias("total_tokens"),
+    )
+
+
+def corpus_stats(
+    df: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+    short_tokens: int = 32,
+) -> DataFrame:
+    """Dataset-card statistics per stratum — the summary table a corpus
+    release ships alongside the shards (docs, token/char volume, exact-dup
+    rate, short-doc count, mean length).
+
+    One scan, one narrow aggregation: the text is reduced to three
+    integers and one 32-hex fingerprint in a map-side projection, so the
+    exchange carries ``(group, n_tokens, n_chars, fp)`` — never the text.
+    The exact-duplicate count uses ``count(distinct md5)`` (the same
+    normalized fingerprint as the ``doc_fingerprint`` query /
+    ``exact_dedup`` operator, so card numbers reconcile with what the
+    dedup pass actually removes); with a single distinct column Spark
+    plans it as a two-level hash aggregate — partial agg on
+    ``(group, fp)`` map-side, then the final count — no Expand, and both
+    exchange payloads are the narrow projection, not the text (asserted
+    in ``test_corpus_stats_exchange_is_narrow``). All ratios are integer
+    fixed-point (``_e2``), no floats in the output."""
+    toks = _toks(text_col)
+    base = df.select(
+        F.col(group_col).alias("stratum"),
+        F.size(toks).cast("long").alias("n_toks"),
+        F.length(text_col).cast("long").alias("n_chars"),
+        F.md5(F.lower(F.trim(F.col(text_col)))).alias("fp"),
+    )
+    agg = base.groupBy("stratum").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("n_toks").alias("total_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+        F.countDistinct("fp").alias("distinct_docs"),
+        F.sum(
+            F.when(F.col("n_toks") < short_tokens, F.lit(1)).otherwise(F.lit(0))
+        ).cast("long").alias("short_docs"),
+    )
+    return agg.select(
+        "stratum",
+        "docs",
+        "total_tokens",
+        "total_chars",
+        (F.col("docs") - F.col("distinct_docs")).alias("exact_dup_docs"),
+        "short_docs",
+        F.expr("(total_tokens * 100) DIV docs").alias("mean_tokens_e2"),
     )

@@ -1817,6 +1817,116 @@ URL_CANON_SQL = """
 """
 
 
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card statistics per language stratum
+    (``operators/textpipeline.corpus_stats``): docs, token/char volume,
+    exact-dup count (vs the shared normalized md5 fingerprint), short-doc
+    count, integer mean length. One scan; the exchange carries a narrow
+    ``(lang, 2 ints, fp)`` projection, never the text."""
+    from go_bqloader_spark.operators.textpipeline import corpus_stats
+
+    return corpus_stats(load(spark, sf_dir, "documents"), group_col="lang")
+
+
+CORPUS_STATS_SQL = f"""
+    WITH t AS (
+        SELECT lang AS stratum,
+               CAST(len({_TOKENS_SQL}) AS BIGINT) AS n_toks,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               md5(lower(trim(text))) AS fp
+        FROM documents
+    )
+    SELECT stratum,
+           count(*) AS docs,
+           CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           count(*) - count(DISTINCT fp) AS exact_dup_docs,
+           CAST(sum(CASE WHEN n_toks < 32 THEN 1 ELSE 0 END) AS BIGINT)
+               AS short_docs,
+           CAST((sum(n_toks) * 100) // count(*) AS BIGINT) AS mean_tokens_e2
+    FROM t
+    GROUP BY stratum
+"""
+
+
+def q_domain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-site rollup on the registrable ("eTLD+1") domain
+    (``functions/urlnorm.registrable_domain``): synthetic hosts with
+    subdomain depth 0-2 and a TLD mix including two-level public
+    suffixes (``co.uk``, ``com.au``) are derived deterministically from
+    doc_id, reduced to their registrable domain, and rolled up — the
+    standard per-site statistics / politeness-cap / domain-dedup key for
+    a crawl corpus. Pure projection + ONE narrow groupBy on the domain
+    string; the text reduces map-side to two integers."""
+    from go_bqloader_spark.functions.urlnorm import registrable_domain
+
+    d = load(spark, sf_dir, "documents")
+    site = F.concat(F.lit("site"), (F.col("doc_id") % 50).cast("string"))
+    tld = (
+        F.when(F.col("doc_id") % 4 == 0, F.lit("com"))
+        .when(F.col("doc_id") % 4 == 1, F.lit("org"))
+        .when(F.col("doc_id") % 4 == 2, F.lit("co.uk"))
+        .otherwise(F.lit("com.au"))
+    )
+    sub = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit(""))
+        .when(F.col("doc_id") % 3 == 1, F.lit("www."))
+        .otherwise(F.lit("cdn.media."))
+    )
+    host = F.concat(sub, site, F.lit("."), tld)
+    base = d.select(
+        registrable_domain(host).alias("domain"),
+        host.alias("host"),
+        F.size(F.expr(_TOKENS)).cast("long").alias("n_toks"),
+    )
+    return base.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.countDistinct("host").alias("distinct_hosts"),
+        F.sum("n_toks").alias("total_tokens"),
+    )
+
+
+DOMAIN_ROLLUP_SQL = f"""
+    WITH v AS (
+        SELECT doc_id,
+               concat(CASE doc_id % 3 WHEN 0 THEN ''
+                                      WHEN 1 THEN 'www.'
+                                      ELSE 'cdn.media.' END,
+                      'site', CAST(doc_id % 50 AS VARCHAR), '.',
+                      CASE doc_id % 4 WHEN 0 THEN 'com'
+                                      WHEN 1 THEN 'org'
+                                      WHEN 2 THEN 'co.uk'
+                                      ELSE 'com.au' END) AS host,
+               CAST(len({_TOKENS_SQL}) AS BIGINT) AS n_toks
+        FROM documents
+    ), r AS (
+        SELECT host, n_toks,
+               CASE WHEN len(string_split(host, '.')) >= 3
+                         AND array_to_string(list_slice(
+                                 string_split(host, '.'), -2, -1), '.')
+                             IN ('co.uk', 'org.uk', 'ac.uk', 'gov.uk',
+                                 'co.jp', 'ne.jp', 'or.jp', 'ac.jp',
+                                 'com.au', 'net.au', 'org.au',
+                                 'com.br', 'com.cn', 'com.mx', 'com.ar',
+                                 'co.in', 'co.kr', 'com.tw', 'com.sg',
+                                 'co.za')
+                    THEN array_to_string(list_slice(
+                             string_split(host, '.'), -3, -1), '.')
+                    WHEN len(string_split(host, '.')) >= 2
+                    THEN array_to_string(list_slice(
+                             string_split(host, '.'), -2, -1), '.')
+                    ELSE host END AS domain
+        FROM v
+    )
+    SELECT domain,
+           count(*) AS docs,
+           count(DISTINCT host) AS distinct_hosts,
+           CAST(sum(n_toks) AS BIGINT) AS total_tokens
+    FROM r
+    GROUP BY domain
+"""
+
+
 def q_windowed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling event-time windows (the streaming metrics aggregation of
     streaming/windows.py, run in batch mode for oracle checkability)."""
@@ -2021,6 +2131,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pii_scrub": q_pii_scrub,
     "seq_packing": q_seq_packing,
     "url_canonicalize": q_url_canonicalize,
+    "corpus_stats": q_corpus_stats,
+    "domain_rollup": q_domain_rollup,
     "windowed_metrics": q_windowed_metrics,
     "sessionize": q_sessionize,
     "heavy_hitters": q_heavy_hitters,
@@ -2067,6 +2179,8 @@ ORACLE_SQL: dict[str, str] = {
     "pii_scrub": PII_SCRUB_SQL,
     "seq_packing": SEQ_PACKING_SQL,
     "url_canonicalize": URL_CANON_SQL,
+    "corpus_stats": CORPUS_STATS_SQL,
+    "domain_rollup": DOMAIN_ROLLUP_SQL,
     "windowed_metrics": WINDOWED_SQL,
     "sessionize": SESSIONIZE_SQL,
     "heavy_hitters": HEAVY_SQL,

@@ -172,3 +172,64 @@ def test_pack_sequences_start_offset_rule(spark):
     # starts: 0, 9, 18 -> seq 0, 0, 1
     assert out[0]["n_docs"] == 2 and out[1]["n_docs"] == 1
     assert out[1]["first_doc"] == 128
+
+
+def test_corpus_stats_card_numbers(spark):
+    from go_bqloader_spark.operators.textpipeline import corpus_stats
+
+    d = spark.createDataFrame(
+        [
+            (1, "a b c", "en"),
+            (2, "a b c", "en"),          # exact dup of 1
+            (3, " a b c ", "en"),        # dup after trim-normalization
+            (4, " ".join(f"w{i}" for i in range(40)), "en"),  # long doc
+            (5, "hola", "es"),
+        ],
+        "doc_id bigint, text string, lang string",
+    )
+    rows = {r["stratum"]: r for r in corpus_stats(d, short_tokens=32).collect()}
+    en = rows["en"]
+    assert en["docs"] == 4
+    assert en["exact_dup_docs"] == 2       # docs 2 and 3 collapse onto 1
+    assert en["total_tokens"] == 3 + 3 + 3 + 40
+    assert en["short_docs"] == 3           # the three 3-token docs
+    assert en["mean_tokens_e2"] == (49 * 100) // 4
+    assert rows["es"]["docs"] == 1 and rows["es"]["short_docs"] == 1
+
+
+def test_corpus_stats_exchange_is_narrow(spark):
+    from go_bqloader_spark.operators.textpipeline import corpus_stats
+
+    d = spark.createDataFrame([(1, "a b", "en")], "doc_id bigint, text string, lang string")
+    plan = corpus_stats(d)._jdf.queryExecution().executedPlan().toString()
+    # the text column must not cross the aggregation exchanges: the
+    # map-side partial aggregates (whose output IS the exchange payload)
+    # carry only (stratum, fp, counters) after the narrow projection
+    partials = [
+        ln for ln in plan.splitlines()
+        if "HashAggregate" in ln and "partial_" in ln
+    ]
+    assert partials and all("text#" not in ln for ln in partials)
+    # and the distinct is planned as a two-level hash agg, not Expand
+    assert "Expand" not in plan
+
+
+def test_registrable_domain_heuristic(spark):
+    from go_bqloader_spark.functions.urlnorm import host_of, registrable_domain
+
+    cases = [
+        ("http://www.Example.COM/p", "example.com"),
+        ("https://a.b.site.co.uk:8443/x?y=1", "site.co.uk"),
+        ("http://user:pw@cdn.media.news.org/", "news.org"),
+        ("http://localhost/x", "localhost"),
+        ("http://deep.sub.host.com.au/", "host.com.au"),
+        ("http://plain.io/", "plain.io"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [
+        r["d"]
+        for r in df.select(
+            registrable_domain(host_of("url")).alias("d")
+        ).collect()
+    ]
+    assert got == [want for _, want in cases]

@@ -158,3 +158,34 @@ cu = spark.createDataFrame(
 ).select(canonical_url("url").alias("c")).collect()[0]["c"]
 assert cu == "http://a.ex/P?q=2", cu
 print("URLNORM OK:", cu)
+
+# --- r5 additions: domain rollup, dataset card, training-set export ---
+from go_bqloader_spark.functions.urlnorm import host_of, registrable_domain
+
+rd = spark.createDataFrame(
+    [("https://a.b.site.co.uk:8443/x",), ("http://www.news.org/p",)],
+    "url string",
+).select(registrable_domain(host_of("url")).alias("d")).collect()
+assert [r["d"] for r in rd] == ["site.co.uk", "news.org"], rd
+
+from go_bqloader_spark.plans.export import export_training_set
+
+clean40 = " ".join(f"tok{i}" for i in range(40))
+corpus = spark.createDataFrame(
+    [(1, clean40, "en"), (2, clean40, "en"), (3, "hi", "en"),
+     (4, " ".join(["spam"] * 30), "en"),
+     (5, "ping x@y.org " + clean40, "fr")],
+    "doc_id bigint, text string, lang string")
+exp_dir = tempfile.mkdtemp(prefix="gbs_exp_") + "/rel"
+stats = export_training_set(corpus, exp_dir, min_tokens=5,
+                            capacity=32, n_shards=2)
+assert stats["input_docs"] == 5 and stats["after_dedup"] == 4
+assert stats["exported_docs"] == 2, stats
+shipped = {r["doc_id"]: r for r in
+           spark.read.parquet(f"{exp_dir}/shards").collect()}
+assert sorted(shipped) == [1, 5] and "<EMAIL>" in shipped[5]["text"]
+card = {r["stratum"]: r["docs"] for r in
+        spark.read.parquet(f"{exp_dir}/card").collect()}
+assert card == {"en": 1, "fr": 1}, card
+print(f"EXPORT OK: funnel={stats['after_dedup']}->{stats['exported_docs']} "
+      f"card={card} domain_rollup_ok")
