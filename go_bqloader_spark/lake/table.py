@@ -54,6 +54,7 @@ bottleneck, and in this sandbox the shared memory bus plays that role
 
 from __future__ import annotations
 
+import base64
 import json
 import os
 import uuid
@@ -143,6 +144,7 @@ class LakeTable:
         n_buckets: int = 32,
         bucket_col: str = "url",
         write_mode: str = "mor",
+        bloom_bits: int = 0,
         fs=None,
     ) -> "LakeTable":
         """Create an empty table. ``columns`` = [(name, ddl_type), ...].
@@ -150,6 +152,17 @@ class LakeTable:
         Engine columns always appended: ``_seq`` (last applied change seq
         per row — LWW tiebreaker + per-row lineage watermark) and
         ``_deleted`` (tombstone marker).
+
+        ``bloom_bits`` > 0 additionally stores a per-data-file Bloom
+        filter over the FULL key tuple in the manifest (``bloom_bits``
+        bits, 2 hash probes), enabling planning-time file pruning for
+        point lookups (``read(point=...)``) beyond what the min/max zone
+        maps can do — a hash-distributed key inside one bucket spans the
+        whole zone range, but its Bloom still excludes most files. Costs:
+        ~``bloom_bits/6`` bytes of manifest per live file entry, and MoR
+        merges take a narrow read-back pass instead of the Observation
+        fast path. False-positive rate for a file with n distinct keys is
+        ``(1 - exp(-2n/bits))^2`` — size bits ≳ 10n for ~3%.
         """
         assert write_mode in ("mor", "cow")
         key = key or ["url", "warc_ts"]
@@ -186,6 +199,8 @@ class LakeTable:
             # values, so pruning on them can never split a key across
             # kept/skipped files and MoR LWW resolution stays exact.
             "zone_cols": [c for c in key],
+            # per-file key Bloom filters (0 = disabled): see create() doc
+            "bloom_bits": int(bloom_bits),
             "summary": {"operation": "create"},
         }
         t = LakeTable(spark, path, fs=fs)
@@ -381,6 +396,16 @@ class LakeTable:
                         f"{sorted(self._BUCKET_SAFE_WIDENINGS)} is "
                         "hash-invariant"
                     )
+                if self._bloom_bits(m) and name in m["key"] and \
+                        (f["type"], new_type) not in self._BLOOM_SAFE_WIDENINGS:
+                    raise ValueError(
+                        f"cannot widen bloom'd key column {f['type']} -> "
+                        f"{new_type}: stored Bloom filters hashed the old "
+                        "width, so probes would false-negative and point "
+                        f"reads would MISS rows; only "
+                        f"{sorted(self._BLOOM_SAFE_WIDENINGS)} keeps the "
+                        "probe hash stable"
+                    )
                 f["type"] = new_type
                 break
         else:
@@ -492,11 +517,107 @@ class LakeTable:
                 return False
         return True
 
+    # ----------------------------------------------------- key bloom filters
+    # Two probe positions per key (k=2), derived from xxhash64 over the
+    # typed key columns with distinct seeds — the SAME expression computes
+    # the write-side filter and the read-side probe (the probe runs a
+    # 1-row Spark job), so there is no cross-engine canonicalization to
+    # drift. collect_set is bounded by bloom_bits distinct positions per
+    # file, so the aggregation state is O(bits), not O(rows).
+    _BLOOM_SEEDS = (0x51ED, 0x00C0FFEE)
+
+    def _bloom_bits(self, m: dict[str, Any]) -> int:
+        return int(m.get("bloom_bits", 0) or 0)
+
+    # widenings of a bloom'd KEY column that keep the probe hash stable
+    # under the canonical casts below (int/bigint hash at bigint width,
+    # float/double at double width — xxhash64 is width-sensitive, the
+    # same trap as _bucket_expr / ADVICE r4)
+    _BLOOM_SAFE_WIDENINGS = {("int", "bigint"), ("float", "double")}
+
+    def _bloom_pos_exprs(self, m: dict[str, Any]) -> list[F.Column]:
+        bits = self._bloom_bits(m)
+        types = {f["name"]: f["type"] for f in self.schema_fields(m)}
+        cols = []
+        for k in m["key"]:
+            c = F.col(k)
+            if types.get(k) in ("int", "bigint"):
+                c = c.cast("bigint")
+            elif types.get(k) in ("float", "double"):
+                c = c.cast("double")
+            cols.append(c)
+        return [
+            F.pmod(F.xxhash64(*cols, F.lit(s)), F.lit(bits)).cast("long")
+            for s in self._BLOOM_SEEDS
+        ]
+
+    def _bloom_aggs(self, m: dict[str, Any]) -> list[F.Column]:
+        p0, p1 = self._bloom_pos_exprs(m)
+        return [
+            F.collect_set(p0).alias("__bl0"),
+            F.collect_set(p1).alias("__bl1"),
+        ]
+
+    def _blooms_from_rows(self, m: dict[str, Any], rows) -> dict[int, str]:
+        bits = self._bloom_bits(m)
+        out: dict[int, str] = {}
+        for r in rows:
+            positions = set(r["__bl0"] or []) | set(r["__bl1"] or [])
+            if not positions:
+                continue
+            ba = bytearray((bits + 7) // 8)
+            for p in positions:
+                ba[p >> 3] |= 1 << (p & 7)
+            out[int(r["b"])] = base64.b64encode(bytes(ba)).decode()
+        return out
+
+    @staticmethod
+    def _bloom_may_contain(entry: dict[str, Any], positions: list[int]) -> bool:
+        """False only when the file PROVABLY lacks the key. Entries
+        without a filter (legacy files, disabled tables) are kept —
+        like zone maps, pruning is an optimization, never a correctness
+        filter."""
+        enc = entry.get("bloom")
+        if not enc:
+            return True
+        ba = base64.b64decode(enc)
+        return all(ba[p >> 3] & (1 << (p & 7)) for p in positions)
+
+    def _point_probe(self, m: dict[str, Any], point: dict[str, Any]):
+        """One 1-row Spark job computes the point key's bucket AND its
+        Bloom probe positions with the exact write-side expressions."""
+        if sorted(point) != sorted(m["key"]):
+            raise ValueError(
+                f"point lookup needs the full key {m['key']}; got {sorted(point)}"
+            )
+        types = {f["name"]: f["type"] for f in self.schema_fields(m)}
+        ddl = ", ".join(f"{k} {types[k]}" for k in m["key"])
+        one = self.spark.createDataFrame(
+            [tuple(point[k] for k in m["key"])], ddl
+        )
+        # the bucket is computable only when the bucket column is part of
+        # the key (the normal CDC layout); otherwise fall back to
+        # bloom-only pruning across all buckets
+        has_bucket = m["bucket_col"] in m["key"]
+        sel = [self._bucket_expr(m).alias("__b")] if has_bucket else []
+        if self._bloom_bits(m):
+            sel += [
+                e.alias(f"__p{i}") for i, e in enumerate(self._bloom_pos_exprs(m))
+            ]
+        if not sel:
+            return None, []
+        r = one.select(*sel).collect()[0]
+        positions = (
+            [r["__p0"], r["__p1"]] if self._bloom_bits(m) else []
+        )
+        return (int(r["__b"]) if has_bucket else None), positions
+
     def _read_raw(
         self,
         m: dict[str, Any],
         buckets: list[int] | None,
         zones: dict[str, tuple] | None = None,
+        bloom_positions: list[int] | None = None,
     ) -> DataFrame | None:
         """Union all data files (schema-reconciled), no LWW resolution."""
         current = self.schema_fields(m)
@@ -506,6 +627,8 @@ class LakeTable:
                 continue
             for e in entries:
                 if zones and not self._zone_overlaps(e, zones):
+                    continue
+                if bloom_positions and not self._bloom_may_contain(e, bloom_positions):
                     continue
                 groups.setdefault(str(e["schema_version"]), []).append(
                     os.path.join(self.path, e["path"])
@@ -548,6 +671,7 @@ class LakeTable:
         buckets: list[int] | None = None,
         include_deleted: bool = False,
         zones: dict[str, tuple] | None = None,
+        point: dict[str, Any] | None = None,
     ) -> DataFrame:
         """Read a snapshot. In mor mode, base+delta files are resolved with
         one LWW window (skipped automatically when every bucket has a
@@ -564,8 +688,24 @@ class LakeTable:
         version of an in-range key or none of it, and MoR LWW resolution
         over the kept files is exact. The same range is re-applied as a
         row filter post-resolution, so the result is exactly the filtered
-        table, not a superset."""
+        table, not a superset.
+
+        ``point={key_col: value, ...}`` (full key tuple) is the point
+        lookup: one tiny Spark job maps the key to its bucket and Bloom
+        probe positions, the scan is pruned to that ONE bucket and (when
+        the table was created with ``bloom_bits``) to the files whose
+        Bloom may contain the key, then the exact key-equality filter and
+        the usual LWW resolve run over the survivors. On a 10^5-file
+        table this reads a handful of files instead of a bucket's worth;
+        without blooms it still prunes to the bucket. Mutually exclusive
+        with ``buckets``/``zones``."""
         m = self.manifest(version)
+        bloom_positions: list[int] | None = None
+        if point is not None:
+            if buckets is not None or zones is not None:
+                raise ValueError("point is mutually exclusive with buckets/zones")
+            b, bloom_positions = self._point_probe(m, point)
+            buckets = [b] if b is not None else None
         if zones:
             zc = set(self._zone_cols(m))
             bad = [c for c in zones if c not in zc]
@@ -575,10 +715,13 @@ class LakeTable:
                     "(non-key pruning would split keys across kept/skipped "
                     "files and break LWW resolution)"
                 )
-        raw = self._read_raw(m, buckets, zones)
+        raw = self._read_raw(m, buckets, zones, bloom_positions)
         if raw is None:
             empty = self.spark.createDataFrame([], self.spark_schema(m))
             return empty if include_deleted else empty.drop(DELETED_COL)
+        if point is not None:
+            for k, v in point.items():
+                raw = raw.filter(F.col(k).eqNullSafe(F.lit(v)))
         if zones:
             for c, (lo, hi) in zones.items():
                 e = self._zone_expr(m, c)
@@ -823,8 +966,13 @@ class LakeTable:
 
         zone_cols = self._zone_cols(m)
         zones: dict[int, dict[str, list]] = {}
+        blooms: dict[int, str] = {}
+        bloom_on = self._bloom_bits(m) > 0
         obs = None
-        if stats_rows is None and m["n_buckets"] <= self._OBS_MAX_BUCKETS:
+        # blooms need a collect_set per file — they force the narrow
+        # read-back path (documented cost in create()); without them the
+        # Observation rides the write job itself
+        if stats_rows is None and m["n_buckets"] <= self._OBS_MAX_BUCKETS and not bloom_on:
             from pyspark.sql import Observation
 
             obs = Observation()
@@ -856,10 +1004,13 @@ class LakeTable:
                 ]
             else:
                 # one narrow column-pruned read-back computes the lineage
-                # stats AND the zone-map bounds (same pass, same files)
-                back = self.spark.read.parquet(out_dir).select(
-                    "b", SEQ_COL, DELETED_COL, *zone_cols
+                # stats AND the zone-map bounds AND the key blooms
+                # (same pass, same files)
+                back_cols = dict.fromkeys(
+                    ["b", SEQ_COL, DELETED_COL, *zone_cols]
+                    + (m["key"] if bloom_on else [])
                 )
+                back = self.spark.read.parquet(out_dir).select(*back_cols)
                 collected = (
                     back.groupBy("b")
                     .agg(
@@ -867,9 +1018,12 @@ class LakeTable:
                         F.count(F.lit(1)).alias("n"),
                         F.sum(F.col(DELETED_COL).cast("long")).alias("rows_deleted"),
                         *self._zone_aggs(m, zone_cols),
+                        *(self._bloom_aggs(m) if bloom_on else []),
                     )
                     .collect()
                 )
+                if bloom_on:
+                    blooms = self._blooms_from_rows(m, collected)
                 stats_rows = [
                     (
                         int(r["b"]),
@@ -884,16 +1038,24 @@ class LakeTable:
             affected = sorted(written)
         if not written and not affected:
             return self._commit_noop(m, batch_key)
-        if not zones and zone_cols and written:
-            # cow / Observation paths: dedicated narrow zone read-back
+        if written and ((not zones and zone_cols) or (bloom_on and not blooms)):
+            # cow / Observation paths: dedicated narrow zone+bloom read-back
+            sel = dict.fromkeys(
+                ["b", *zone_cols] + (m["key"] if bloom_on else [])
+            )
             rows = (
                 self.spark.read.parquet(out_dir)
-                .select("b", *zone_cols)
+                .select(*sel)
                 .groupBy("b")
-                .agg(*self._zone_aggs(m, zone_cols))
+                .agg(
+                    *self._zone_aggs(m, zone_cols),
+                    *(self._bloom_aggs(m) if bloom_on else []),
+                )
                 .collect()
             )
             zones = self._zones_from_rows(rows, zone_cols)
+            if bloom_on:
+                blooms = self._blooms_from_rows(m, rows)
 
         rows_upserted = sum(r[2] for r in stats_rows)
         rows_deleted = sum(r[3] for r in stats_rows)
@@ -907,6 +1069,8 @@ class LakeTable:
             entry = {"path": os.path.join(rel, f"b={b}"), "schema_version": m["schema_version"]}
             if b in zones:
                 entry["zones"] = zones[b]
+            if b in blooms:
+                entry["bloom"] = blooms[b]
             new_buckets.setdefault(str(b), []).append(entry)
 
         ledger, floors = self._advance_ledger(m, batch_key, max_seq)
@@ -1012,15 +1176,25 @@ class LakeTable:
         }
         zone_cols = self._zone_cols(m)
         zones: dict[int, dict[str, list]] = {}
-        if zone_cols and written:
+        blooms: dict[int, str] = {}
+        bloom_on = self._bloom_bits(m) > 0
+        if (zone_cols or bloom_on) and written:
+            sel = dict.fromkeys(
+                ["b", *zone_cols] + (m["key"] if bloom_on else [])
+            )
             rows = (
                 self.spark.read.parquet(out_dir)
-                .select("b", *zone_cols)
+                .select(*sel)
                 .groupBy("b")
-                .agg(*self._zone_aggs(m, zone_cols))
+                .agg(
+                    *self._zone_aggs(m, zone_cols),
+                    *(self._bloom_aggs(m) if bloom_on else []),
+                )
                 .collect()
             )
             zones = self._zones_from_rows(rows, zone_cols)
+            if bloom_on:
+                blooms = self._blooms_from_rows(m, rows)
         new_buckets = {b: list(entries) for b, entries in m["buckets"].items()}
         for b in targets:
             new_buckets.pop(str(b), None)
@@ -1028,6 +1202,8 @@ class LakeTable:
             entry = {"path": os.path.join(rel, f"b={b}"), "schema_version": m["schema_version"]}
             if b in zones:
                 entry["zones"] = zones[b]
+            if b in blooms:
+                entry["bloom"] = blooms[b]
             new_buckets[str(b)] = [entry]
         m2 = dict(
             m,
@@ -1076,19 +1252,31 @@ class LakeTable:
             if d.startswith("b=")
         }
         zone_cols = self._zone_cols(m)
+        bloom_on = self._bloom_bits(m) > 0
         back = (
             self.spark.read.parquet(out_dir)
-            .select("b", SEQ_COL, *zone_cols)
+            .select(
+                *dict.fromkeys(
+                    ["b", SEQ_COL, *zone_cols] + (m["key"] if bloom_on else [])
+                )
+            )
             .groupBy("b")
-            .agg(F.max(SEQ_COL).alias("__wm"), *self._zone_aggs(m, zone_cols))
+            .agg(
+                F.max(SEQ_COL).alias("__wm"),
+                *self._zone_aggs(m, zone_cols),
+                *(self._bloom_aggs(m) if bloom_on else []),
+            )
             .collect()
         )
         zones = self._zones_from_rows(back, zone_cols)
+        blooms = self._blooms_from_rows(m, back) if bloom_on else {}
         new_buckets: dict[str, list] = {}
         for b in sorted(written):
             entry = {"path": os.path.join(rel, f"b={b}"), "schema_version": m["schema_version"]}
             if b in zones:
                 entry["zones"] = zones[b]
+            if b in blooms:
+                entry["bloom"] = blooms[b]
             new_buckets[str(b)] = [entry]
         m2 = dict(
             m,

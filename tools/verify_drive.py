@@ -189,3 +189,20 @@ card = {r["stratum"]: r["docs"] for r in
 assert card == {"en": 1, "fr": 1}, card
 print(f"EXPORT OK: funnel={stats['after_dedup']}->{stats['exported_docs']} "
       f"card={card} domain_rollup_ok")
+
+# --- manifest key Blooms: point lookup through the production API ---
+tmp3 = tempfile.mkdtemp(prefix="gbs_bl_")
+tb = LakeTable.create(
+    spark, tmp3,
+    [("url", "string"), ("warc_ts", "timestamp"), ("html", "binary"),
+     ("text", "string"), ("lang", "string")],
+    key=["url", "warc_ts"], n_buckets=4, bloom_bits=8192,
+)
+feed2 = gen_changes(spark, n_events=3000, n_urls=400, n_hosts=20, seed=13)
+tb.merge(feed2, batch_key=("bl", 0))
+mrow = tb.read().limit(1).collect()[0]
+pt = tb.read(point={"url": mrow["url"], "warc_ts": mrow["warc_ts"]}).collect()
+assert pt == [mrow], pt
+mman = tb.manifest()
+assert all(e.get("bloom") for es in mman["buckets"].values() for e in es)
+print(f"BLOOM OK: point lookup exact, {sum(len(v) for v in mman['buckets'].values())} entries carry filters")
