@@ -106,15 +106,24 @@ def main():
             all_reps[name].append(round(time.time() - t0, 3))
     times: dict[str, float] = {name: min(v) for name, v in all_reps.items()}
 
-    work = tempfile.mkdtemp(prefix="bench_cdc_")
-    try:
-        t0 = time.time()
-        apply_wall, final_rows = run_cdc_apply(
-            spark, n_events, n_batches, n_buckets=2 * cpus, work=work
-        )
-        total = time.time() - t0
-    finally:
-        shutil.rmtree(work, ignore_errors=True)
+    # the CDC phase gets the same isolation treatment as the queries
+    # (SPARK_GRAFT_BENCH_CDC_REPS, min-of-N): its first run in a session
+    # pays feed generation page-cache + merge-path JIT — measured 24.4 ->
+    # 12.8 -> 10.5 s across three back-to-back applies (r5)
+    cdc_reps = int(os.environ.get("SPARK_GRAFT_BENCH_CDC_REPS", "1"))
+    cdc_walls = []
+    t0 = time.time()
+    for _ in range(cdc_reps):
+        work = tempfile.mkdtemp(prefix="bench_cdc_")
+        try:
+            apply_wall, final_rows = run_cdc_apply(
+                spark, n_events, n_batches, n_buckets=2 * cpus, work=work
+            )
+            cdc_walls.append(round(apply_wall, 3))
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+    total = time.time() - t0
+    apply_wall = min(cdc_walls)
     times["cdc_apply"] = round(apply_wall, 3)
 
     out = {
@@ -134,6 +143,8 @@ def main():
     }
     if reps > 1:
         out["query_reps"] = all_reps
+    if cdc_reps > 1:
+        out["cdc"]["reps"] = cdc_walls
     print(json.dumps(out))
     spark.stop()
 

