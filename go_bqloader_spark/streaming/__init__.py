@@ -9,6 +9,7 @@ from go_bqloader_spark.streaming.quality import (  # noqa: F401
     quality_filter_projector,
 )
 from go_bqloader_spark.streaming.pipeline import (  # noqa: F401
+    compose_projectors,
     run_cdc_stream,
     start_cdc_stream,
 )

@@ -112,3 +112,31 @@ def run_cdc_stream(
             q.stop()
     if q.exception() is not None:
         raise RuntimeError(f"stream failed: {q.exception()}")
+
+
+def compose_projectors(
+    *projectors: Callable[[DataFrame], DataFrame],
+) -> Callable[[DataFrame], DataFrame]:
+    """Chain per-batch projectors left-to-right into one
+    ``start_cdc_stream(projector=...)`` hook — the full ingest-hygiene
+    stack is a composition, e.g.::
+
+        compose_projectors(
+            canonicalize_projector(),      # key normalization FIRST
+            quality_filter_projector(),    # drop spam before paying scrub
+            pii_scrub_projector(),         # redact what survives
+            domain_quota_projector(1000),  # politeness cap last
+        )
+
+    Order matters and is the caller's contract: canonicalization must
+    precede anything keyed by url; the quota should run after the
+    filters so dropped spam doesn't consume a domain's budget. Each
+    stage is itself a lazy DataFrame→DataFrame map, so composition adds
+    no extra evaluation — the batch plan fuses across stages."""
+
+    def project(batch: DataFrame) -> DataFrame:
+        for p in projectors:
+            batch = p(batch)
+        return batch
+
+    return project

@@ -599,3 +599,75 @@ def test_cdc_stream_with_domain_quota_projector(spark, tmp_path):
     ]
     # the tombstone applied: gone.co.uk/y was upserted then deleted
     assert t.read(include_deleted=True).where("url like '%gone%'").count() == 1
+
+
+def test_cdc_stream_full_hygiene_stack(spark, tmp_path):
+    """The composed ingest pipeline — canonicalize → quality filter →
+    PII scrub → domain quota — through ONE projector hook: key variants
+    collapse, spam dies before the scrub pays for it, survivors are
+    redacted with the byte-invariant intact, and the hot domain is
+    capped. The composition is the production recipe from the
+    compose_projectors docstring."""
+    from go_bqloader_spark.functions.urlnorm import canonicalize_projector
+    from go_bqloader_spark.functions.webtext import extract_text
+    from go_bqloader_spark.streaming import (
+        compose_projectors,
+        domain_quota_projector,
+        pii_scrub_projector,
+        quality_filter_projector,
+        run_cdc_stream,
+    )
+
+    src = str(tmp_path / "feed")
+    clean = " ".join(f"w{i}" for i in range(30))
+    rows = [
+        # same page under two tracking-param variants: canonicalization
+        # must collapse them onto one LWW key (seq 2 wins)
+        ("U", 1, "https://a.ex/p?utm_source=x", clean + " v1"),
+        ("U", 2, "https://a.ex/p?utm_source=y", clean + " v2"),
+        # spam page: must die at the quality gate
+        ("U", 3, "https://s.ex/spam", "spam spam spam spam spam spam spam"),
+        # PII page: must land redacted
+        ("U", 4, "https://b.ex/pii", "call 415-555-0134 " + clean),
+        # hot domain: 3 upserts, quota 2 -> lowest seqs win
+        ("U", 5, "https://hot.ex/1", clean + " h1"),
+        ("U", 6, "https://hot.ex/2", clean + " h2"),
+        ("U", 7, "https://hot.ex/3", clean + " h3"),
+    ]
+    df = spark.createDataFrame(
+        rows, "op string, seq bigint, url string, text string"
+    ).select(
+        "op", "seq", "url",
+        F.to_timestamp(F.lit("2024-01-01 00:00:01")).alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"), "text",
+        F.lit("en").alias("lang"),
+    )
+    df.repartition(1).write.mode("overwrite").parquet(src)
+
+    t = _mk_table(spark, tmp_path)
+    run_cdc_stream(
+        spark, src, t, str(tmp_path / "ck"),
+        projector=compose_projectors(
+            canonicalize_projector(),
+            quality_filter_projector(),
+            pii_scrub_projector(),
+            domain_quota_projector(max_per_domain=2),
+        ),
+        timeout_sec=180,
+    )
+    out = {r["url"]: r for r in t.read().collect()}
+    assert sorted(out) == [
+        "https://a.ex/p",        # canonical key, one row
+        "https://b.ex/pii",
+        "https://hot.ex/1",
+        "https://hot.ex/2",
+    ]
+    assert out["https://a.ex/p"]["text"].endswith("v2")      # LWW by seq
+    assert "415-555-0134" not in out["https://b.ex/pii"]["text"]
+    assert "xPHONEx" in out["https://b.ex/pii"]["text"]
+    # byte-invariant holds on every stored row with a payload
+    bad = t.read().where(
+        F.col("html").isNotNull()
+        & (F.col("text") != extract_text(F.col("html")))
+    ).count()
+    assert bad == 0

@@ -217,3 +217,23 @@ qkept = sorted(r["seq"] for r in
                domain_quota_projector(max_per_domain=2)(qb).collect())
 assert qkept == [1, 2, 9], qkept
 print(f"QUOTA OK: kept={qkept}")
+
+# --- composed hygiene stack through one projector hook ---
+from go_bqloader_spark.functions.urlnorm import canonicalize_projector
+from go_bqloader_spark.streaming import (
+    compose_projectors, pii_scrub_projector, quality_filter_projector)
+stack = compose_projectors(
+    canonicalize_projector(), quality_filter_projector(),
+    pii_scrub_projector(), domain_quota_projector(max_per_domain=2))
+cb = spark.createDataFrame(
+    [("U", 1, "https://c.ex/p?utm_source=t", "call 415-555-0134 "
+      + " ".join(f"k{i}" for i in range(20))),
+     ("U", 2, "https://s.ex/x", "spam spam spam spam spam spam")],
+    "op string, seq bigint, url string, text string"
+).select("op", "seq", "url",
+         F.lit(None).cast("timestamp").alias("warc_ts"),
+         F.lit(None).cast("binary").alias("html"), "text",
+         F.lit("en").alias("lang"))
+cres = {r["url"]: r["text"] for r in stack(cb).collect()}
+assert list(cres) == ["https://c.ex/p"] and "xPHONEx" in cres["https://c.ex/p"]
+print("STACK OK: canonicalized key, spam dropped, PII redacted")
