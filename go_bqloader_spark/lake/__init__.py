@@ -4,4 +4,8 @@ from go_bqloader_spark.lake.maintenance import (  # noqa: F401
     near_dup_rewrite,
     quality_rewrite,
 )
-from go_bqloader_spark.lake.table import LakeTable, MergeStats  # noqa: F401
+from go_bqloader_spark.lake.table import (  # noqa: F401
+    CommitConflict,
+    LakeTable,
+    MergeStats,
+)

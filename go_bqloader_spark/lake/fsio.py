@@ -104,3 +104,8 @@ class LocalFS:
             shutil.rmtree(path, ignore_errors=True)
         elif os.path.exists(path):
             os.remove(path)
+
+    def mtime(self, path: str) -> float:
+        """Last-modified time (epoch seconds). Object stores: the object's
+        Last-Modified header / the max over a prefix listing."""
+        return os.path.getmtime(path)

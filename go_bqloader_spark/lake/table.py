@@ -57,6 +57,7 @@ from __future__ import annotations
 import base64
 import json
 import os
+import time
 import uuid
 from dataclasses import dataclass
 from typing import Any
@@ -89,6 +90,16 @@ _DDL_TO_SPARK = {
 
 def _spark_type(ddl: str) -> T.DataType:
     return _DDL_TO_SPARK[ddl]
+
+
+class CommitConflict(RuntimeError):
+    """Another writer committed between this writer's snapshot read and its
+    manifest CAS. Recoverable: ``merge()`` retries automatically (MoR delta
+    appends rebase at the manifest level without rewriting data; CoW
+    re-merges against the fresh snapshot). Maintenance rewrites
+    (``compact``/``rebucket``/schema DDL) surface it to the caller — their
+    output is derived from the superseded snapshot, so a blind re-commit
+    could drop a concurrent merge's rows; re-run the operation instead."""
 
 
 @dataclass
@@ -261,7 +272,7 @@ class LakeTable:
         if expected_parent is not None:
             current = self.current_version()
             if current != expected_parent:
-                raise RuntimeError(
+                raise CommitConflict(
                     f"concurrent commit detected: expected parent {expected_parent}, "
                     f"found {current}"
                 )
@@ -274,7 +285,7 @@ class LakeTable:
                 repaired = self._repair_orphan_manifest(mpath, manifest["version"])
                 if repaired == "retry" and attempt == 0:
                     continue
-                raise RuntimeError(
+                raise CommitConflict(
                     f"concurrent commit detected: manifest v{manifest['version']} "
                     "already exists (another writer committed first"
                     + ("; LATEST rolled forward to it" if repaired == "published" else "")
@@ -808,11 +819,42 @@ class LakeTable:
         batch_key: tuple[str, int] | None = None,
         salted: bool = True,
         n_salts: int = 16,
+        commit_retries: int = 3,
     ) -> MergeStats:
         """Apply a change batch: LWW upsert + delete, exactly-once.
 
         ``changes`` columns: ``op ('I'|'U'|'D'), seq`` + data columns.
-        """
+
+        Optimistic concurrency: when another writer commits between this
+        merge's snapshot read and its manifest CAS, the merge retries up to
+        ``commit_retries`` times. A MoR delta append rebases at the
+        MANIFEST level — the written files stay valid under any interleaved
+        merge/compact/schema commit (entries pin their schema_version and
+        bucket membership is layout-stable), so the retry is a metadata
+        re-write, not a Spark job. A CoW merge (or a MoR append that raced
+        a rebucket) recomputes against the fresh snapshot. Exactly-once
+        holds under contention: every retry re-checks the ledger, and a
+        batch_key another writer landed first returns ``skipped`` with the
+        stale data dir removed. ``commit_retries=0`` restores fail-fast
+        (raises :class:`CommitConflict`)."""
+        last: CommitConflict | None = None
+        for _ in range(commit_retries + 1):
+            try:
+                return self._merge_once(
+                    changes, batch_key, salted, n_salts, commit_retries
+                )
+            except CommitConflict as e:
+                last = e
+        raise last
+
+    def _merge_once(
+        self,
+        changes: DataFrame,
+        batch_key: tuple[str, int] | None,
+        salted: bool,
+        n_salts: int,
+        commit_retries: int,
+    ) -> MergeStats:
         m = self.manifest()
         version = m["version"]
         if batch_key is not None and self._committed_in(m, *batch_key):
@@ -857,7 +899,9 @@ class LakeTable:
                     F.col("__b").alias("b"),
                 )
             )
-            return self._finish_merge(m, out_rows, batch_key, replace=False)
+            return self._finish_merge(
+                m, out_rows, batch_key, replace=False, commit_retries=commit_retries
+            )
 
         # ---- cow: rewrite affected buckets (read-optimized) ------------
         # Affected buckets + per-bucket lineage stats come from a NARROW
@@ -900,7 +944,7 @@ class LakeTable:
         )
         affected = sorted(int(r["__b"]) for r in stats_collected)
         if not affected:
-            return self._commit_noop(m, batch_key)
+            return self._commit_noop(m, batch_key, commit_retries=commit_retries)
 
         existing = self.read(buckets=affected, include_deleted=True).withColumn(
             "__b", self._bucket_expr(m)
@@ -935,6 +979,7 @@ class LakeTable:
             out_rows.repartition(max(len(affected), 1), F.col("b")),
             batch_key,
             replace=True,
+            commit_retries=commit_retries,
             affected=affected,
             stats_rows=[
                 (int(r["__b"]), r["applied_max_seq"], r["rows_upserted"], r["rows_deleted"])
@@ -948,6 +993,7 @@ class LakeTable:
         out_rows: DataFrame,
         batch_key: tuple[str, int] | None,
         replace: bool,
+        commit_retries: int = 3,
         affected: list[int] | None = None,
         stats_rows: list[tuple] | None = None,
     ) -> MergeStats:
@@ -1005,7 +1051,7 @@ class LakeTable:
         }
         if stats_rows is None:
             if not written:  # empty mor batch: nothing written, no-op commit
-                return self._commit_noop(m, batch_key)
+                return self._commit_noop(m, batch_key, commit_retries=commit_retries)
             if obs is not None:
                 vals = obs.get
                 stats_rows = [
@@ -1048,7 +1094,7 @@ class LakeTable:
         if affected is None:
             affected = sorted(written)
         if not written and not affected:
-            return self._commit_noop(m, batch_key)
+            return self._commit_noop(m, batch_key, commit_retries=commit_retries)
         if written and ((not zones and zone_cols) or (bloom_on and not blooms)):
             # cow / Observation paths: dedicated narrow zone+bloom read-back
             sel = dict.fromkeys(
@@ -1071,68 +1117,125 @@ class LakeTable:
         rows_upserted = sum(r[2] for r in stats_rows)
         rows_deleted = sum(r[3] for r in stats_rows)
         max_seq = max((r[1] for r in stats_rows), default=None)
-
-        new_buckets = {b: list(entries) for b, entries in m["buckets"].items()}
-        if replace:
-            for b in affected:
-                new_buckets.pop(str(b), None)
-        for b in sorted(written):
-            entry = {"path": os.path.join(rel, f"b={b}"), "schema_version": m["schema_version"]}
-            if b in zones:
-                entry["zones"] = zones[b]
-            if b in blooms:
-                entry["bloom"] = blooms[b]
-            new_buckets.setdefault(str(b), []).append(entry)
-
-        ledger, floors = self._advance_ledger(m, batch_key, max_seq)
-        # roll the per-bucket applied-seq watermark forward so resume reads
-        # exactly ONE manifest (no chain walk)
-        wms = dict(m.get("watermarks", {}))
-        for b, mx, _up, _dl in stats_rows:
-            if mx is not None and (str(b) not in wms or mx > wms[str(b)]):
-                wms[str(b)] = mx
         qid, bid = batch_key if batch_key else ("", -1)
-        m2 = dict(
-            m,
-            version=m["version"] + 1,
-            parent=m["version"],
-            buckets=new_buckets,
-            ledger=ledger,
-            ledger_floor=floors,
-            watermarks=wms,
-            # per-bucket lineage metrics ride in the manifest: no extra
-            # Spark job per batch, and they commit atomically WITH the data
-            metrics=[
-                [m["version"] + 1, qid, bid, b, mx, up, dl]
-                for (b, mx, up, dl) in stats_rows
-            ],
-            summary={
-                "operation": "merge",
-                "mode": m.get("write_mode", "cow"),
-                "affected_buckets": len(affected),
-                "rows_upserted": rows_upserted,
-                "rows_deleted": rows_deleted,
-                "max_seq": max_seq,
-            },
-        )
-        self._write_manifest(m2, expected_parent=m["version"])
-        return MergeStats(
-            m2["version"], False, affected, rows_upserted, rows_deleted, max_seq
-        )
 
-    def _commit_noop(self, m: dict[str, Any], batch_key: tuple[str, int] | None) -> MergeStats:
-        ledger, floors = self._advance_ledger(m, batch_key, None)
-        m2 = dict(
-            m,
-            version=m["version"] + 1,
-            parent=m["version"],
-            ledger=ledger,
-            ledger_floor=floors,
-            metrics=[],
-            summary={"operation": "merge", "affected_buckets": 0, "rows_upserted": 0, "rows_deleted": 0},
-        )
-        self._write_manifest(m2, expected_parent=m["version"])
-        return MergeStats(m2["version"], False, [], 0, 0, None)
+        def _build(base: dict[str, Any]) -> dict[str, Any]:
+            new_buckets = {b: list(entries) for b, entries in base["buckets"].items()}
+            if replace:
+                for b in affected:
+                    new_buckets.pop(str(b), None)
+            for b in sorted(written):
+                # schema_version pins the snapshot the files were WRITTEN
+                # under (m, not base): after a rebase past a concurrent
+                # schema commit, readers still resolve these files against
+                # the schema their parquet footers actually carry
+                entry = {
+                    "path": os.path.join(rel, f"b={b}"),
+                    "schema_version": m["schema_version"],
+                }
+                if b in zones:
+                    entry["zones"] = zones[b]
+                if b in blooms:
+                    entry["bloom"] = blooms[b]
+                new_buckets.setdefault(str(b), []).append(entry)
+
+            ledger, floors = self._advance_ledger(base, batch_key, max_seq)
+            # roll the per-bucket applied-seq watermark forward so resume
+            # reads exactly ONE manifest (no chain walk)
+            wms = dict(base.get("watermarks", {}))
+            for b, mx, _up, _dl in stats_rows:
+                if mx is not None and (str(b) not in wms or mx > wms[str(b)]):
+                    wms[str(b)] = mx
+            return dict(
+                base,
+                version=base["version"] + 1,
+                parent=base["version"],
+                buckets=new_buckets,
+                ledger=ledger,
+                ledger_floor=floors,
+                watermarks=wms,
+                # per-bucket lineage metrics ride in the manifest: no extra
+                # Spark job per batch, and they commit atomically WITH the
+                # data
+                metrics=[
+                    [base["version"] + 1, qid, bid, b, mx, up, dl]
+                    for (b, mx, up, dl) in stats_rows
+                ],
+                summary={
+                    "operation": "merge",
+                    "mode": base.get("write_mode", "cow"),
+                    "affected_buckets": len(affected),
+                    "rows_upserted": rows_upserted,
+                    "rows_deleted": rows_deleted,
+                    "max_seq": max_seq,
+                },
+            )
+
+        # optimistic commit: a CAS loss means another writer landed a
+        # version on our parent. A delta append (replace=False) is
+        # REBASEABLE — the written files are valid under any interleaved
+        # merge/compact/schema commit, so the retry rebuilds only the
+        # manifest on the fresh snapshot. A bucket-REPLACEMENT commit is
+        # not: its output resolves the buckets as of snapshot m, and
+        # rebasing would silently drop rows a concurrent merge added to an
+        # affected bucket — recompute instead (merge() owns that loop).
+        base = m
+        for attempt in range(commit_retries + 1):
+            m2 = _build(base)
+            try:
+                self._write_manifest(m2, expected_parent=base["version"])
+                return MergeStats(
+                    m2["version"], False, affected, rows_upserted, rows_deleted, max_seq
+                )
+            except CommitConflict:
+                fresh = self.manifest()
+                # exactly-once under contention: another writer (a restarted
+                # driver, a competing replay) may have committed THIS batch
+                if batch_key is not None and self._committed_in(fresh, *batch_key):
+                    self.fs.delete(out_dir)
+                    return MergeStats(fresh["version"], True, [], 0, 0, None)
+                rebase_safe = (
+                    not replace
+                    # a concurrent rebucket changed the layout: our b= dirs
+                    # no longer match bucket membership
+                    and fresh["n_buckets"] == m["n_buckets"]
+                    and fresh["bucket_col"] == m["bucket_col"]
+                )
+                if not rebase_safe or attempt >= commit_retries:
+                    self.fs.delete(out_dir)
+                    raise
+                base = fresh
+        raise AssertionError("unreachable")  # loop always returns or raises
+
+    def _commit_noop(
+        self,
+        m: dict[str, Any],
+        batch_key: tuple[str, int] | None,
+        commit_retries: int = 3,
+    ) -> MergeStats:
+        base = m
+        for attempt in range(commit_retries + 1):
+            ledger, floors = self._advance_ledger(base, batch_key, None)
+            m2 = dict(
+                base,
+                version=base["version"] + 1,
+                parent=base["version"],
+                ledger=ledger,
+                ledger_floor=floors,
+                metrics=[],
+                summary={"operation": "merge", "affected_buckets": 0, "rows_upserted": 0, "rows_deleted": 0},
+            )
+            try:
+                self._write_manifest(m2, expected_parent=base["version"])
+                return MergeStats(m2["version"], False, [], 0, 0, None)
+            except CommitConflict:
+                fresh = self.manifest()
+                if batch_key is not None and self._committed_in(fresh, *batch_key):
+                    return MergeStats(fresh["version"], True, [], 0, 0, None)
+                if attempt >= commit_retries:
+                    raise
+                base = fresh
+        raise AssertionError("unreachable")
 
     # ------------------------------------------------------------- compact
     def entries_per_bucket(self) -> dict[int, int]:
@@ -1352,7 +1455,9 @@ class LakeTable:
         return out.filter(F.col(SEQ_COL) > seq)
 
     # --------------------------------------------------------------- expiry
-    def expire_snapshots(self, keep_n: int = 10) -> dict[str, int]:
+    def expire_snapshots(
+        self, keep_n: int = 10, orphan_grace_sec: float = 24 * 3600
+    ) -> dict[str, int]:
         """Truncate the manifest chain to the newest ``keep_n`` snapshots
         and GC data files no retained snapshot references.
 
@@ -1387,6 +1492,7 @@ class LakeTable:
 
         removed = 0
         current = retained[0]["version"]
+        now = time.time()
         data_root = os.path.join(self.path, "data")
         for commit_dir in self.fs.listdir(data_root):
             # Commit dirs encode the version they were written FOR
@@ -1394,14 +1500,25 @@ class LakeTable:
             # to an in-flight concurrent merge that has written parquet but
             # not yet CAS-committed its manifest — GC'ing it would make
             # that writer commit a manifest pointing at deleted paths.
-            # Unreferenced dirs AT/BELOW current are losers of past CAS
-            # races (their writer already re-merged) and are safe to drop.
+            # Unreferenced dirs AT/BELOW current are usually losers of past
+            # CAS races — but a REBASING delta append is in flight with a
+            # stale version prefix (it writes under its snapshot's v+1,
+            # then commits at whatever version the rebase lands on), so age
+            # is the second guard: only dirs older than ``orphan_grace_sec``
+            # are treated as abandoned (Iceberg's remove_orphan_files
+            # ``older_than`` rule). Keep the grace above the longest merge
+            # duration; 0 is for tests/offline tables only.
             try:
                 if int(commit_dir[1:9]) > current:
                     continue
             except ValueError:
                 pass
             cdir = os.path.join(data_root, commit_dir)
+            try:
+                if now - self.fs.mtime(cdir) < orphan_grace_sec:
+                    continue
+            except OSError:
+                continue
             for bdir in self.fs.listdir(cdir):
                 if not bdir.startswith("b="):
                     continue

@@ -341,8 +341,8 @@ def test_expire_snapshots_gc_and_metrics_spill(spark, tmp_path):
     n_manifests_before = len(os.listdir(str(tmp_path / "tbl" / "_manifests")))
 
     # keep only the compacted snapshot: every pre-compact delta dir is now
-    # unreferenced and must be GC'd
-    out = t.expire_snapshots(keep_n=1)
+    # unreferenced and must be GC'd (grace 0: no writer is in flight here)
+    out = t.expire_snapshots(keep_n=1, orphan_grace_sec=0)
     assert out["expired"] >= 4 and out["data_dirs_removed"] >= 1
     assert len(t.history()) == 1
     assert len(os.listdir(str(tmp_path / "tbl" / "_manifests"))) < n_manifests_before
@@ -499,12 +499,11 @@ def test_repair_never_rolls_latest_backward(spark, tmp_path):
     orphan = dict(t.manifest(), version=v + 1, parent=v,
                   summary={"operation": "stalled"}, metrics=[])
     t.fs.create_exclusive(t._manifest_path(v + 1), json.dumps(orphan))
-    # B repairs (rolls LATEST to v+1, surfacing the retryable conflict),
-    # then the retry commits v+2
+    # B's merge repairs (rolls LATEST to v+1), hits the conflict, and the
+    # built-in optimistic retry rebases onto v+1 and commits v+2 — one call
     t2 = LakeTable(spark, str(tmp_path / "tbl"))
-    with pytest.raises(RuntimeError, match="rolled forward"):
-        t2.merge(_tiny_batch(spark, 1), batch_key=("q", 1))
-    t2.merge(_tiny_batch(spark, 1), batch_key=("q", 1))
+    st = t2.merge(_tiny_batch(spark, 1), batch_key=("q", 1))
+    assert not st.skipped and st.version == v + 2
     assert t2.current_version() == v + 2
     # A wakes up and re-runs its publish path for v+1 — must be a no-op
     latest = t2.fs  # same FS seam A would use
@@ -512,6 +511,14 @@ def test_repair_never_rolls_latest_backward(spark, tmp_path):
     lp = _os.path.join(str(tmp_path / "tbl"), "_manifests", "LATEST")
     assert latest.publish_if_newer(lp, v + 1) is False
     assert t2.current_version() == v + 2
+    # fail-fast mode still surfaces the repair as a retryable conflict
+    with pytest.raises(RuntimeError, match="concurrent commit"):
+        orphan2 = dict(orphan, version=v + 3, parent=v + 2,
+                       summary={"operation": "stalled2"})
+        t2.fs.create_exclusive(t2._manifest_path(v + 3), json.dumps(orphan2))
+        t2.merge(_tiny_batch(spark, 2), batch_key=("q", 2), commit_retries=0)
+    t2.merge(_tiny_batch(spark, 2), batch_key=("q", 2))  # retry path lands
+    assert t2.current_version() == v + 4
 
 
 def test_expire_snapshots_spares_inflight_commit_dirs(spark, tmp_path):
@@ -533,9 +540,20 @@ def test_expire_snapshots_spares_inflight_commit_dirs(spark, tmp_path):
     with open(os.path.join(inflight, "b=0", "part-0.parquet"), "w") as f:
         f.write("x")
 
-    out = t.expire_snapshots(keep_n=1)
+    out = t.expire_snapshots(keep_n=1, orphan_grace_sec=0)
     assert out["data_dirs_removed"] >= 1  # old unreferenced dirs did go
     assert os.path.exists(os.path.join(inflight, "b=0"))  # in-flight spared
+
+    # age guard: a REBASING writer's dir can sit at/below current with a
+    # stale version prefix — under the default grace period it is spared
+    # even though it is unreferenced (Iceberg's older_than rule)
+    rebasing = str(tmp_path / "tbl" / "data" / f"c{cur - 1:08d}_cafecafe0000")
+    os.makedirs(os.path.join(rebasing, "b=0"))
+    with open(os.path.join(rebasing, "b=0", "part-0.parquet"), "w") as f:
+        f.write("x")
+    t.merge(_tiny_batch(spark, 8), batch_key=("q", 8))
+    out = t.expire_snapshots(keep_n=1)  # default grace
+    assert os.path.exists(os.path.join(rebasing, "b=0"))
 
 
 def test_observation_stats_path_matches_readback(spark, tmp_path):

@@ -237,3 +237,31 @@ cb = spark.createDataFrame(
 cres = {r["url"]: r["text"] for r in stack(cb).collect()}
 assert list(cres) == ["https://c.ex/p"] and "xPHONEx" in cres["https://c.ex/p"]
 print("STACK OK: canonicalized key, spam dropped, PII redacted")
+
+# --- multi-writer optimistic concurrency (r5): interleaved commit rebases ---
+tmp4 = tempfile.mkdtemp(prefix="gbs_cc_")
+tc = LakeTable.create(
+    spark, tmp4,
+    [("url", "string"), ("warc_ts", "timestamp"), ("html", "binary"),
+     ("text", "string"), ("lang", "string")],
+    key=["url", "warc_ts"], n_buckets=4, write_mode="mor",
+)
+tc2 = LakeTable(spark, tmp4)
+_orig_cas = tc.fs.create_exclusive
+_fired = {"done": False}
+def _race(path, data):
+    if not _fired["done"]:
+        _fired["done"] = True
+        tc2.merge(spark.createDataFrame(
+            [("U", 1, "https://w2.ex/p", None, None, "w2", "en")],
+            "op string, seq bigint, url string, warc_ts timestamp, "
+            "html binary, text string, lang string"), batch_key=("w2", 0))
+    return _orig_cas(path, data)
+tc.fs.create_exclusive = _race
+ccst = tc.merge(spark.createDataFrame(
+    [("U", 2, "https://w1.ex/p", None, None, "w1", "en")],
+    "op string, seq bigint, url string, warc_ts timestamp, "
+    "html binary, text string, lang string"), batch_key=("w1", 0))
+assert not ccst.skipped and tc.read().count() == 2
+assert tc.committed("w1", 0) and tc.committed("w2", 0)
+print(f"CONCURRENCY OK: interleaved commit rebased to v{ccst.version}, both batches live")
