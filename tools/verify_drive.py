@@ -265,3 +265,33 @@ ccst = tc.merge(spark.createDataFrame(
 assert not ccst.skipped and tc.read().count() == 2
 assert tc.committed("w1", 0) and tc.committed("w2", 0)
 print(f"CONCURRENCY OK: interleaved commit rebased to v{ccst.version}, both batches live")
+
+# --- incremental near-dup maintenance via the persisted band index ---
+import os
+
+from go_bqloader_spark.lake import NearDupIndex
+tmp5 = tempfile.mkdtemp(prefix="gbs_ndi_")
+tn = LakeTable.create(
+    spark, os.path.join(tmp5, "corpus"),
+    [("url", "string"), ("warc_ts", "timestamp"), ("html", "binary"),
+     ("text", "string"), ("lang", "string")],
+    key=["url", "warc_ts"], n_buckets=4,
+)
+ndx = NearDupIndex.create(spark, os.path.join(tmp5, "idx"), tn, n_buckets=16)
+fam = "the quick brown fox jumps over the lazy dog near the old river bank"
+def _nb(rows):
+    return spark.createDataFrame(
+        [("U", s, u, None, None, t, "en") for s, u, t in rows],
+        "op string, seq bigint, url string, warc_ts timestamp, "
+        "html binary, text string, lang string")
+tn.merge(_nb([(1, "u/a2", fam), (2, "u/solo", "unrelated volcanic geology text")]),
+         batch_key=("feed", 0))
+nr1 = ndx.update(batch_id=0)
+tn.merge(_nb([(3, "u/a1", fam)]), batch_key=("feed", 1))
+nr2 = ndx.update(batch_id=1)
+live = sorted(r["url"] for r in tn.read().select("url").collect())
+assert live == ["u/a1", "u/solo"], live
+assert nr2.index_buckets_probed < nr2.index_buckets_total
+print(f"NEARDUP-INDEX OK: incremental pass removed={nr2.removed} "
+      f"probed={nr2.index_buckets_probed}/{nr2.index_buckets_total} buckets, "
+      f"indexed_through={ndx.indexed_through()}")
