@@ -45,6 +45,9 @@ def start_cdc_stream(
     schema: str = CHANGE_SCHEMA,
     stream_transform: Callable[[DataFrame], DataFrame] | None = None,
     content_dedup=None,
+    neardup_index=None,
+    neardup_every: int = 0,
+    neardup_threshold: float = 0.7,
 ) -> StreamingQuery:
     """Start the streaming apply; returns the StreamingQuery handle.
 
@@ -56,7 +59,17 @@ def start_cdc_stream(
     upstream of ``foreachBatch``. ``content_dedup`` takes an
     :class:`~go_bqloader_spark.streaming.dedup.IngestContentDedup` — the
     zero-payload-shuffle dedup path that runs inside ``foreachBatch`` and
-    commits its fingerprint state exactly-once AFTER each data merge."""
+    commits its fingerprint state exactly-once AFTER each data merge.
+
+    ``neardup_index`` + ``neardup_every=N`` runs
+    :meth:`~go_bqloader_spark.lake.neardup_index.NearDupIndex.update`
+    every N batches, right after the merge: exact content dups never
+    reach the table (``content_dedup``), NEAR dups are swept out of it
+    incrementally — each pass reads only the changes since the index's
+    watermark and only the index buckets the new band hashes fall in, so
+    the sweep stays O(batch) on an endless-tail 10^10-doc table. The pass
+    is ledgered by the streaming batch_id, so a replayed batch redelivers
+    it as a no-op."""
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -73,6 +86,14 @@ def start_cdc_stream(
         table.merge(batch_df, batch_key=(query_name, batch_id))
         if content_dedup is not None:
             content_dedup.commit(batch_id)
+        if neardup_index is not None and neardup_every and (
+            batch_id > 0 and batch_id % neardup_every == 0
+        ):
+            neardup_index.update(
+                batch_id=batch_id,
+                threshold=neardup_threshold,
+                query_id=f"{query_name}_neardup",
+            )
         # MoR maintenance, same single-writer thread as the merges: fold
         # delta entries periodically so read amplification stays bounded,
         # and expire old snapshots so manifests + dead files don't

@@ -671,3 +671,42 @@ def test_cdc_stream_full_hygiene_stack(spark, tmp_path):
         & (F.col("text") != extract_text(F.col("html")))
     ).count()
     assert bad == 0
+
+
+def test_cdc_stream_with_incremental_neardup_sweep(spark, tmp_path):
+    """NearDupIndex wired into start_cdc_stream: the periodic in-pipeline
+    sweep tombstones near-dups (same text family, different urls) that
+    ingest-time exact dedup cannot catch, across micro-batch boundaries."""
+    from go_bqloader_spark.lake import NearDupIndex
+
+    fam_a = "the quick brown fox jumps over the lazy dog near the old river"
+    fam_b = "spark structured streaming applies change data capture merges"
+    solo = "completely unrelated text about volcanic geology and minerals"
+    segs = [
+        [(1, "u/a2", fam_a + " tail"), (2, "u/s1", solo)],
+        [(3, "u/a1", fam_a + " tail")],
+        [(4, "u/b2", fam_b + " tail"), (5, "u/b1", fam_b + " tail")],
+    ]
+    src = str(tmp_path / "feed")
+    for rows in segs:  # sequential writes -> mtime-ordered micro-batches
+        spark.createDataFrame(
+            [("U", s, u, None, None, t, "en") for s, u, t in rows],
+            "op string, seq bigint, url string, warc_ts timestamp, "
+            "html binary, text string, lang string",
+        ).repartition(1).write.mode("append").parquet(src)
+
+    table = _mk_table(spark, tmp_path)
+    idx = NearDupIndex.create(
+        spark, str(tmp_path / "ndidx"), table, n_buckets=16
+    )
+    run_cdc_stream(
+        spark, src, table, str(tmp_path / "ck"),
+        max_files_per_trigger=1,
+        compact_every=0, expire_keep=None,
+        neardup_index=idx, neardup_every=1,
+    )
+    live = sorted(r["url"] for r in table.read().select("url").collect())
+    assert live == ["u/a1", "u/b1", "u/s1"], live
+    # the sweep is ledgered under the streaming batch ids
+    assert table.committed("cdc_apply_neardup", 2)
+    assert idx.indexed_through() == 5
