@@ -325,6 +325,47 @@ class NearDupIndex:
             index_merge=idx_stats,
         )
 
+    def rebuild(
+        self, batch_id: int, query_id: str = "neardup_rebuild"
+    ) -> MergeStats:
+        """Garbage-collect stale index rows: one pass over the LIVE corpus
+        recomputes every band row, upserts them (seq = the doc's corpus
+        change seq — unchanged rows LWW-tie with their stored version and
+        stay put), and tombstones index keys no live doc produces anymore
+        (CDC-deleted docs' leftovers — see the staleness contract in the
+        module doc). O(corpus) by design; run it at GC cadence, not per
+        batch. Follow with ``table.compact(expire_tombstones=True)`` to
+        drop the tombstones physically once no replay can resurrect them."""
+        p = self.params
+        key = p["corpus_key"]
+        live = self.corpus.read().filter(F.col(p["text_col"]).isNotNull()).select(
+            *key, p["text_col"], SEQ_COL
+        )
+        fresh = self._doc_bands(live).localCheckpoint(eager=True)
+        ikey = ["band_hash", "band_idx", *key]
+        stored = self.table.read().alias("s")
+        want = fresh.select(*ikey).alias("w")
+        # null-safe equality: key columns (e.g. a NULL warc_ts) must match
+        # as values, or every stored row with a NULL key looks stale
+        cond = None
+        for c in ikey:
+            eq = F.col(f"s.{c}").eqNullSafe(F.col(f"w.{c}"))
+            cond = eq if cond is None else (cond & eq)
+        stale = (
+            stored.join(want, cond, "anti")
+            .select(
+                F.lit("D").alias("op"), (F.col(SEQ_COL) + 1).alias("seq"),
+                *ikey, F.lit(None).cast("string").alias("sig"),
+            )
+        )
+        ups = fresh.select(
+            F.lit("U").alias("op"), F.col(SEQ_COL).alias("seq"),
+            *ikey, "sig",
+        )
+        return self.table.merge(
+            ups.unionByName(stale), batch_key=(query_id, batch_id)
+        )
+
     def _victim_deletes_pruned(
         self, cm: dict, losers: DataFrame, allb: DataFrame
     ) -> DataFrame:

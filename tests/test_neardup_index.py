@@ -151,3 +151,38 @@ def test_indexed_through_tracks_corpus_seq(spark, tmp_path):
     t.merge(_batch(spark, [(12, "u/z", FAM_B)]), batch_key=("feed", 1))
     r = idx.update(batch_id=1)
     assert r.new_docs == 1
+
+
+def test_rebuild_gc_stale_rows_and_keeps_live(spark, tmp_path):
+    """rebuild(): CDC-deleted docs' leftover band rows are tombstoned,
+    live docs' rows survive (LWW tie keeps unchanged rows), and the pass
+    is ledgered."""
+    t = _corpus(spark, tmp_path)
+    idx = NearDupIndex.create(spark, str(tmp_path / "idx"), t, n_buckets=8)
+    t.merge(_batch(spark, [(1, "u/dead", SOLO1), (2, "u/live", SOLO2)]),
+            batch_key=("feed", 0))
+    idx.update(batch_id=0)
+    assert {r["url"] for r in idx.table.read().select("url").collect()} == {
+        "u/dead", "u/live"
+    }
+    dead = t.read().filter("url = 'u/dead'").select("url", "warc_ts").collect()[0]
+    t.merge(
+        spark.createDataFrame(
+            [("D", 3, dead["url"], dead["warc_ts"], None, None, None)],
+            "op string, seq bigint, url string, warc_ts timestamp, "
+            "html binary, text string, lang string",
+        ),
+        batch_key=("feed", 1),
+    )
+    st = idx.rebuild(batch_id=0)
+    assert not st.skipped and st.rows_deleted > 0
+    assert {r["url"] for r in idx.table.read().select("url").collect()} == {"u/live"}
+    # redelivery is a no-op
+    assert idx.rebuild(batch_id=0).skipped
+    # physical tombstone expiry through normal table maintenance
+    idx.table.compact(expire_tombstones=True, min_entries=1)
+    assert {r["url"] for r in idx.table.read().select("url").collect()} == {"u/live"}
+    # the index keeps working incrementally after a rebuild
+    t.merge(_batch(spark, [(4, "u/live2", SOLO2 + " extra")]), batch_key=("feed", 2))
+    r = idx.update(batch_id=1)
+    assert r.new_docs == 1
