@@ -144,6 +144,9 @@ class LakeTable:
         # manifests are immutable once committed — cache by version so
         # chain walks (metrics/history) re-read each file at most once
         self._mcache: dict[int, dict[str, Any]] = {}
+        # entry-group files are immutable too — cache by name; successive
+        # manifests share almost all of their groups
+        self._gcache: dict[str, dict[str, Any]] = {}
 
     # ------------------------------------------------------------- create
     @staticmethod
@@ -185,7 +188,10 @@ class LakeTable:
         fields.append({"id": 0, "name": SEQ_COL, "type": "bigint"})
         fields.append({"id": -1, "name": DELETED_COL, "type": "boolean"})
         manifest = {
-            "format_version": 2,
+            # 3 = bucket entries live in immutable per-commit GROUP files
+            # (manifest lists them; commit metadata is O(delta)); format-2
+            # manifests with inline "buckets" are still readable
+            "format_version": 3,
             "version": 0,
             "parent": None,
             "schema_version": 0,
@@ -230,9 +236,119 @@ class LakeTable:
             version = self.current_version()
         m = self._mcache.get(version)
         if m is None:
-            m = json.loads(self.fs.read_text(self._manifest_path(version)))
+            m = self._resolve_manifest(
+                json.loads(self.fs.read_text(self._manifest_path(version)))
+            )
             self._mcache[version] = m
         return m
+
+    # ---------------------------------------------------- entry groups
+    # A format-3 manifest does not inline the bucket->entries map: each
+    # commit writes ONE immutable group file holding only the entries it
+    # ADDED (and the bucket ids it REPLACED), and the manifest lists the
+    # group files that are still live. Commit metadata is therefore
+    # O(delta + #groups), not O(table): a steady-state MoR append writes
+    # one entry per touched bucket instead of re-serializing every
+    # accumulated entry (with its zone bounds and Bloom blob) on every
+    # commit — the same reason Iceberg splits snapshots into manifest
+    # files. Readers fold the groups in order (replaces drop earlier
+    # entries for a bucket, adds append) and the resolved map is cached
+    # per version; group files are cached by name and shared across
+    # versions. Compaction/rebucket replace whole buckets, after which
+    # fully-shadowed older groups are pruned from the list.
+
+    def _load_group(self, gname: str) -> dict[str, Any]:
+        g = self._gcache.get(gname)
+        if g is None:
+            g = json.loads(
+                self.fs.read_text(os.path.join(self.path, _MANIFESTS, gname))
+            )
+            self._gcache[gname] = g
+        return g
+
+    def _resolve_manifest(self, mj: dict[str, Any]) -> dict[str, Any]:
+        if "buckets" in mj:  # format-2 / hand-inlined manifest
+            return mj
+        buckets: dict[str, list] = {}
+        for gname in mj.get("groups", []):
+            g = self._load_group(gname)
+            for b in g.get("replaces", []):
+                buckets.pop(str(b), None)
+            for b, es in g.get("adds", {}).items():
+                buckets.setdefault(b, []).extend(es)
+        return dict(mj, buckets=buckets)
+
+    @staticmethod
+    def _diff_buckets(
+        parent_b: dict[str, list], new_b: dict[str, list]
+    ) -> tuple[dict[str, list], list[str]]:
+        """adds/replaces such that folding them onto ``parent_b`` yields
+        ``new_b``. Appended entries become adds (the common fast path — a
+        delta commit); anything else (rewrite, truncation, removal)
+        replaces the bucket."""
+        adds: dict[str, list] = {}
+        replaces: list[str] = []
+        for b, es in new_b.items():
+            pes = parent_b.get(b)
+            if pes is None:
+                if es:
+                    adds[b] = es
+                continue
+            if es == pes:
+                continue
+            if len(es) >= len(pes) and es[: len(pes)] == pes:
+                adds[b] = es[len(pes):]
+            else:
+                replaces.append(b)
+                if es:
+                    adds[b] = es
+        for b, pes in parent_b.items():
+            if b not in new_b and pes:
+                replaces.append(b)
+        return adds, replaces
+
+    def _prune_groups(self, groups: list[str]) -> list[str]:
+        """Drop groups fully shadowed by later replaces (e.g. everything
+        before a whole-table compaction or a rebucket)."""
+        covered: set[str] = set()
+        keep: list[str] = []
+        for gname in reversed(groups):
+            g = self._load_group(gname)
+            adds = set(g.get("adds", {}))
+            reps = {str(b) for b in g.get("replaces", [])}
+            if covered and adds <= covered and reps <= covered:
+                continue
+            keep.append(gname)
+            covered |= reps
+        return list(reversed(keep))
+
+    def _externalize_buckets(
+        self, manifest: dict[str, Any]
+    ) -> tuple[dict[str, Any], dict[str, Any]]:
+        """Split a manifest built with inline ``buckets`` into (serialized
+        form without them + the delta group file written to disk, resolved
+        in-memory form)."""
+        parent = manifest.get("parent")
+        if parent is None:
+            parent_buckets: dict[str, list] = {}
+            parent_groups: list[str] = []
+        else:
+            pm = self.manifest(parent)
+            parent_buckets = pm["buckets"]
+            parent_groups = list(pm.get("groups", []))
+        adds, replaces = self._diff_buckets(parent_buckets, manifest["buckets"])
+        groups = parent_groups
+        if adds or replaces:
+            gname = f"g{manifest['version']:08d}_{uuid.uuid4().hex[:12]}.json"
+            g = {"adds": adds, "replaces": replaces}
+            self.fs.write_atomic(
+                os.path.join(self.path, _MANIFESTS, gname), json.dumps(g)
+            )
+            self._gcache[gname] = g
+            groups = self._prune_groups(groups + [gname])
+        serialized = {k: v for k, v in manifest.items() if k != "buckets"}
+        serialized["groups"] = groups
+        return serialized, dict(manifest, groups=groups)
 
     def _walk_chain(self):
         """Yield manifests newest-first, stopping at the expiry horizon
@@ -277,9 +393,10 @@ class LakeTable:
                     f"found {current}"
                 )
         mpath = self._manifest_path(manifest["version"])
+        serialized, resolved = self._externalize_buckets(manifest)
         for attempt in range(2):
             try:
-                self.fs.create_exclusive(mpath, json.dumps(manifest))
+                self.fs.create_exclusive(mpath, json.dumps(serialized))
                 break
             except FileExistsError as e:
                 repaired = self._repair_orphan_manifest(mpath, manifest["version"])
@@ -294,7 +411,7 @@ class LakeTable:
         # monotonic publish: a stalled writer waking up after later commits
         # landed must not roll LATEST backward (fsio.publish_if_newer docs)
         self.fs.publish_if_newer(latest, manifest["version"])
-        self._mcache[manifest["version"]] = manifest
+        self._mcache[manifest["version"]] = resolved
 
     def _repair_orphan_manifest(self, mpath: str, version: int) -> str:
         """Handle an existing vN+1 file found at CAS time. Returns
@@ -333,7 +450,7 @@ class LakeTable:
             # current_version() read and here, LATEST is left alone
             # instead of being rolled backward (ADVICE r3 TOCTOU).
             self.fs.publish_if_newer(latest, version)
-            self._mcache[version] = existing
+            self._mcache[version] = self._resolve_manifest(existing)
             return "published"
         return "committed"
 
@@ -1490,6 +1607,27 @@ class LakeTable:
             self.fs.delete(self._manifest_path(m["version"]))
             self._mcache.pop(m["version"], None)
 
+        # entry-group GC: groups referenced by NO retained manifest are
+        # dead (expired history, or a CAS-losing writer's orphan) — same
+        # age grace as data dirs, since an in-flight commit writes its
+        # group before its manifest CAS
+        now = time.time()
+        refg = {g for m in retained for g in m.get("groups", [])}
+        groups_removed = 0
+        mdir = os.path.join(self.path, _MANIFESTS)
+        for f in self.fs.listdir(mdir):
+            if not (f.startswith("g") and f.endswith(".json")) or f in refg:
+                continue
+            gp = os.path.join(mdir, f)
+            try:
+                if now - self.fs.mtime(gp) < orphan_grace_sec:
+                    continue
+            except OSError:
+                continue
+            self.fs.delete(gp)
+            self._gcache.pop(f, None)
+            groups_removed += 1
+
         removed = 0
         current = retained[0]["version"]
         now = time.time()
@@ -1528,4 +1666,8 @@ class LakeTable:
                     removed += 1
             if not any(d.startswith("b=") for d in self.fs.listdir(cdir)):
                 self.fs.delete(cdir)
-        return {"expired": len(expired), "data_dirs_removed": removed}
+        return {
+            "expired": len(expired),
+            "data_dirs_removed": removed,
+            "group_files_removed": groups_removed,
+        }

