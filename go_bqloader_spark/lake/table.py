@@ -159,6 +159,7 @@ class LakeTable:
         bucket_col: str = "url",
         write_mode: str = "mor",
         bloom_bits: int = 0,
+        max_manifest_groups: int = 64,
         fs=None,
     ) -> "LakeTable":
         """Create an empty table. ``columns`` = [(name, ddl_type), ...].
@@ -218,6 +219,12 @@ class LakeTable:
             "zone_cols": [c for c in key],
             # per-file key Bloom filters (0 = disabled): see create() doc
             "bloom_bits": int(bloom_bits),
+            # bound on live entry-group files per manifest (0 = never
+            # coalesce): when a commit's pruned group list exceeds this,
+            # the oldest groups fold into ONE consolidated group so
+            # manifest resolution stays O(max_groups + entries) on tables
+            # that commit far more often than they compact
+            "max_manifest_groups": int(max_manifest_groups),
             "summary": {"operation": "create"},
         }
         t = LakeTable(spark, path, fs=fs)
@@ -307,6 +314,37 @@ class LakeTable:
                 replaces.append(b)
         return adds, replaces
 
+    def _coalesce_prefix(
+        self, groups: list[str], version: int, keep_tail: int
+    ) -> list[str]:
+        """Fold the oldest groups into ONE consolidated group file so the
+        live-group list stays bounded on tables that commit far more often
+        than they compact (the Iceberg manifest-merge analog). Metadata
+        only — no data files move. The prefix starts the fold, so its net
+        effect is pure adds; the newest ``keep_tail`` delta groups are
+        kept as-is so steady-state commits keep writing O(delta) files.
+        Amortized cost per commit is O(table_entries / (max_groups/2));
+        the superseded group files become unreferenced by the NEW manifest
+        and are GC'd by expire_snapshots once no retained manifest lists
+        them."""
+        prefix, tail = groups[:-keep_tail], groups[-keep_tail:]
+        buckets: dict[str, list] = {}
+        for gname in prefix:
+            g = self._load_group(gname)
+            for b in g.get("replaces", []):
+                buckets.pop(str(b), None)
+            for b, es in g.get("adds", {}).items():
+                buckets.setdefault(b, []).extend(es)
+        if not buckets:
+            return tail
+        g = {"adds": buckets, "replaces": []}
+        gname = f"g{version:08d}_m{uuid.uuid4().hex[:11]}.json"
+        self.fs.write_atomic(
+            os.path.join(self.path, _MANIFESTS, gname), json.dumps(g)
+        )
+        self._gcache[gname] = g
+        return [gname] + tail
+
     def _prune_groups(self, groups: list[str]) -> list[str]:
         """Drop groups fully shadowed by later replaces (e.g. everything
         before a whole-table compaction or a rebucket)."""
@@ -346,6 +384,11 @@ class LakeTable:
             )
             self._gcache[gname] = g
             groups = self._prune_groups(groups + [gname])
+            maxg = int(manifest.get("max_manifest_groups", 64) or 0)
+            if maxg and len(groups) > maxg:
+                groups = self._coalesce_prefix(
+                    groups, manifest["version"], max(maxg // 2, 1)
+                )
         serialized = {k: v for k, v in manifest.items() if k != "buckets"}
         serialized["groups"] = groups
         return serialized, dict(manifest, groups=groups)

@@ -130,3 +130,30 @@ def test_inline_format2_manifest_still_readable(spark, tmp_path):
     t2.merge(_batch(spark, 1), batch_key=("q", 1))
     assert len(t2.read().collect()) == len(before)
     assert set(t2.entries_per_bucket().values()) == {2}
+
+
+def test_group_coalescing_bounds_live_list(spark, tmp_path):
+    """With max_manifest_groups=6, 20 delta commits keep the live group
+    list bounded while the resolved view, reads, and time travel stay
+    exact — the Iceberg manifest-merge analog, metadata only."""
+    t = _mk(spark, tmp_path, max_manifest_groups=6)
+    for i in range(20):
+        t.merge(_batch(spark, i), batch_key=("q", i))
+        raw = _raw_manifest(t, t.current_version())
+        assert len(raw["groups"]) <= 7  # coalesce fires above 6
+    assert set(t.entries_per_bucket().values()) == {20}
+    assert t.read().count() == 6  # 6 urls, LWW latest
+    # a consolidated group exists and is pure adds
+    raw = _raw_manifest(t, t.current_version())
+    consolidated = [g for g in raw["groups"] if "_m" in g]
+    assert consolidated
+    assert not _group(t, consolidated[0])["replaces"]
+    # time travel: an old manifest still resolves through its own groups
+    old = t.manifest(5)  # after 5 merges: 1 entry per bucket per merge
+    assert set(len(es) for es in old["buckets"].values()) == {5}
+    # expire GCs the superseded (pre-coalesce) group files
+    out = t.expire_snapshots(keep_n=1, orphan_grace_sec=0)
+    assert out["group_files_removed"] > 0
+    assert set(t.entries_per_bucket().values()) == {20}
+    t.merge(_batch(spark, 99), batch_key=("q", 99))
+    assert t.read().count() == 6
