@@ -202,3 +202,32 @@ def test_threaded_writers_converge(spark, tmp_path):
         for i in range(4):
             assert t.committed(n, i)
     assert _data_dirs(tmp_path) == _referenced_dirs(t)
+
+
+def test_rebase_over_coalesced_parent(spark, tmp_path):
+    """A writer whose CAS loses to a commit that triggered group
+    coalescing must rebase against the CONSOLIDATED group list: the
+    format-3 diff runs against the resolved parent map, so the rebased
+    delta folds correctly on top of the coalesced prefix."""
+    t1 = _mk(spark, tmp_path, max_manifest_groups=4)
+    t2 = LakeTable(spark, t1.path)
+    # enough history that the interloper's commit crosses the threshold
+    for i in range(4):
+        t1.merge(_batch(spark, "h", i), batch_key=("w1", i))
+
+    def interloper():
+        t2.merge(_batch(spark, "x", 50), batch_key=("w2", 50))
+
+    _interleave(t1, interloper)
+    t1.merge(_batch(spark, "h", 9), batch_key=("w1", 9))
+
+    t3 = LakeTable(spark, t1.path)  # cold reader, resolves from disk
+    m = t3.manifest()
+    assert len(m["groups"]) <= 5
+    assert any("_m" in g for g in m["groups"])  # consolidated group live
+    urls = {r.url for r in t3.read().collect()}
+    assert {f"https://h{j}.ex/p" for j in range(3)} <= urls
+    assert {f"https://x{j}.ex/p" for j in range(3)} <= urls
+    # latest text for the h-urls is the rebased writer's batch 9
+    texts = {r.text for r in t3.read().collect() if r.url.startswith("https://h")}
+    assert texts == {"h9"}

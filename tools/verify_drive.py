@@ -295,3 +295,28 @@ assert nr2.index_buckets_probed < nr2.index_buckets_total
 print(f"NEARDUP-INDEX OK: incremental pass removed={nr2.removed} "
       f"probed={nr2.index_buckets_probed}/{nr2.index_buckets_total} buckets, "
       f"indexed_through={ndx.indexed_through()}")
+
+# --- format-3 manifests: O(delta) groups + bounded coalescing (r5 tail) ---
+import json as _json
+tmp6 = tempfile.mkdtemp(prefix="gbs_f3_")
+tf = LakeTable.create(
+    spark, tmp6,
+    [("url", "string"), ("warc_ts", "timestamp"), ("html", "binary"),
+     ("text", "string"), ("lang", "string")],
+    key=["url", "warc_ts"], n_buckets=4, max_manifest_groups=4,
+)
+for i in range(7):
+    tf.merge(spark.createDataFrame(
+        [("U", i * 10 + j, f"https://f3-{j}.ex/p", None, None, f"f{i}", "en")
+         for j in range(4)],
+        "op string, seq bigint, url string, warc_ts timestamp, "
+        "html binary, text string, lang string"), batch_key=("f3", i))
+_raw = _json.loads(tf.fs.read_text(tf._manifest_path(tf.current_version())))
+assert "buckets" not in _raw, "format-3 manifest must not inline buckets"
+assert len(_raw["groups"]) <= 5, _raw["groups"]
+assert any("_m" in g for g in _raw["groups"]), "coalesced group expected"
+_cold = LakeTable(spark, tmp6)  # cold reader resolves groups from disk
+assert _cold.read().count() == 4
+assert {r.text for r in _cold.read().collect()} == {"f6"}
+print(f"FORMAT3 OK: 7 delta commits -> {len(_raw['groups'])} live groups "
+      "(coalesced), cold-reader LWW state exact")
