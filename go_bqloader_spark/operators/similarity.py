@@ -25,6 +25,15 @@ from pyspark.sql import functions as F
 
 
 def _dot(a: str | Column, b: str | Column) -> Column:
+    """Dot product as an array-order left fold.
+
+    Deliberately an ``aggregate(zip_with(...))`` fold, NOT an unrolled
+    ``element_at`` sum: a 64-term unrolled expression generates a method
+    past HotSpot's 8 KB JIT threshold — it compiles (so no codegen
+    fallback is logged) but executes in the JVM bytecode interpreter at
+    ~10x the fold's per-row cost (r6 measured both). The fold is the
+    fastest shape that preserves the exact IEEE add order the DuckDB
+    oracles mirror."""
     a = F.col(a) if isinstance(a, str) else a
     b = F.col(b) if isinstance(b, str) else b
     prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
@@ -78,14 +87,37 @@ def _hyperplane_bit(
     deterministic Rademacher signs; only the PRNG differs.
     """
     if sign == "md5":
-        pm1 = (
-            f"(CASE WHEN substring(md5(concat('lsh:', '{seed}', ':', '{plane}', ':', CAST(i AS STRING))), 1, 1) < '8' "
-            f"THEN 1.0 ELSE -1.0 END)"
+        # r6: the ±1 signs depend only on (seed, plane, i) — constants.
+        # The old expression recomputed dim md5 hashes per vector per
+        # plane inside the lambda (dim × n_bits md5 calls per row — the
+        # dominant bucketing cost); md5 is md5, so the signs are
+        # precomputed here with hashlib (bit-identical to Spark's md5
+        # and to the DuckDB oracle's) and folded in as a LITERAL double
+        # array. The fold shape is kept: a fully unrolled 64-term
+        # element_at chain per plane exceeded Janino's 64 KB method
+        # limit with n_bits planes in one stage and dropped the whole
+        # stage to interpreted execution (measured 2.5 s → 8.5 s at
+        # sf0.1) — the fold with literal signs is the fast variant that
+        # still compiles. Products/adds are unchanged IEEE ops (the
+        # CASE evaluated to the same ±1.0 literal), so buckets are
+        # bit-identical.
+        import hashlib
+
+        signs = [
+            "1.0D"
+            if hashlib.md5(f"lsh:{seed}:{plane}:{i}".encode()).hexdigest()[0] < "8"
+            else "-1.0D"
+            for i in range(1, dim + 1)
+        ]
+        sarr = "array(" + ", ".join(signs) + ")"
+        signed = F.expr(
+            f"aggregate(zip_with({vec_col}, {sarr}, "
+            f"(x, s) -> CAST(x AS DOUBLE) * s), "
+            f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
         )
-        idx = f"sequence(1, {dim})"
-    else:
-        pm1 = f"(CASE WHEN pmod(xxhash64({seed}, {plane}, i), 2) = 0 THEN 1.0 ELSE -1.0 END)"
-        idx = f"sequence(0, {dim - 1})"
+        return (signed > 0).cast("int")
+    pm1 = f"(CASE WHEN pmod(xxhash64({seed}, {plane}, i), 2) = 0 THEN 1.0 ELSE -1.0 END)"
+    idx = f"sequence(0, {dim - 1})"
     signed = F.expr(
         f"aggregate(zip_with({vec_col}, {idx}, "
         f"(x, i) -> CAST(x AS DOUBLE) * {pm1}), "
@@ -154,10 +186,20 @@ def lsh_topk(
         q = q.select(
             query_id_col, "__qv", F.explode(probes).alias("bucket")
         )
+    # r6: per-row norms are hoisted BELOW the candidate join (each side
+    # computes its norm once per row instead of once per candidate pair)
+    # — same values, same multiplication order (norm(corpus) *
+    # norm(query)), so cos_sim is bit-identical to the per-pair
+    # formulation. The folds stay interpreted here: candidates per query
+    # are bucket-sized (~corpus/2^n_bits), so the per-pair dot is not a
+    # hot path and the unrolled form risked the Janino 64 KB fallback.
+    c = c.withColumn("__cn", _norm(vec_col))
+    q = q.withColumn("__qn", _norm("__qv"))
     sim = (
         c.join(F.broadcast(q), "bucket")
         .withColumn(
-            "cos_sim", _dot(vec_col, "__qv") / (_norm(vec_col) * _norm("__qv"))
+            "cos_sim",
+            _dot(vec_col, "__qv") / (F.col("__cn") * F.col("__qn")),
         )
         .select(query_id_col, id_col, "cos_sim")
     )
@@ -319,7 +361,10 @@ def ivf_topk(
     assigned once (projection-only — see :func:`ivf_assign`); the query
     side is broadcast-small. ``cells`` overrides the deterministic
     :func:`ivf_cells` quantizer — pass :func:`kmeans_cells` output for
-    trained centroids (better recall-per-probe; ``n_cells`` ignored)."""
+    trained centroids (better recall-per-probe; ``n_cells`` ignored).
+    r6: per-row norms are hoisted below the probe join (once per corpus
+    row / per probe row instead of once per candidate) — bit-identical
+    values, same multiplication order."""
     cents = cells if cells is not None else ivf_cells(corpus, n_cells, id_col, vec_col)
     assigned = ivf_assign(corpus, cents, id_col, vec_col)
     qcos = _dot(vec_col, "__cv") / (_norm(vec_col) * _norm("__cv"))
@@ -331,11 +376,14 @@ def ivf_topk(
         .withColumn("__rn", F.row_number().over(qw))
         .filter(F.col("__rn") <= nprobe)
         .select(query_id_col, F.col(vec_col).alias("__qv"), "cell_id")
+        .withColumn("__qn", _norm("__qv"))
     )
     sim = (
-        assigned.join(F.broadcast(probes), "cell_id")
+        assigned.withColumn("__cn", _norm(vec_col))
+        .join(F.broadcast(probes), "cell_id")
         .withColumn(
-            "cos_sim", _dot(vec_col, "__qv") / (_norm(vec_col) * _norm("__qv"))
+            "cos_sim",
+            _dot(vec_col, "__qv") / (F.col("__cn") * F.col("__qn")),
         )
         .select(query_id_col, id_col, "cos_sim")
     )

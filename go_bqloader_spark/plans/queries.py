@@ -51,6 +51,25 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _spread(df: DataFrame, *key: str) -> DataFrame:
+    """Explicit-N repartition right after a scan (guide §2.5, input skew).
+
+    The driver-generated test tables are single-file, single-row-group
+    parquet, so every scan is ONE input split and a compute-heavy map
+    phase (tokenize/explode/md5/regex) runs serially regardless of core
+    count — at sf1.0 that single task was the dominant cost of most text
+    queries. The repartition shuffles only the narrow scanned bytes
+    (≤ a few MB here) and buys full map parallelism. numPartitions is
+    explicit and derived from the session's parallelism (cluster-
+    proportional, not a local[32] constant): AQE coalesces small-byte
+    shuffles back to one partition otherwise, which is exactly wrong
+    ahead of explosive per-row work. Keyed when a downstream
+    aggregation/window on the same key can reuse the partitioning;
+    round-robin otherwise."""
+    n = df.sparkSession.sparkContext.defaultParallelism * 2
+    return df.repartition(n, *[F.col(c) for c in key]) if key else df.repartition(n)
+
+
 # --------------------------------------------------------------------- CDC
 def _events_as_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
@@ -173,7 +192,13 @@ CDC_METRICS_SQL = f"""
 def q_clean_number(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T5 CleanNumber over deterministically dirtied strings
     (/root/reference/contrib/handlers/handlers.go:36-51)."""
-    li = load(spark, sf_dir, "lineitem")
+    # r6: project to the 3 needed columns, then spread — the regex clean
+    # otherwise runs inside the 6 row-group scan tasks (guide §2.5/§2.3)
+    li = _spread(
+        load(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_partkey", "l_linenumber"
+        )
+    )
     ok = F.col("l_orderkey").cast("string")
     pk = F.col("l_partkey").cast("string")
     raw = (
@@ -214,7 +239,8 @@ CLEAN_NUMBER_SQL = """
 
 def q_date_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T1+T2 date normalization round-trip over orders dates."""
-    o = load(spark, sf_dir, "orders")
+    # r6: single-row-group scan → spread before the per-row date work
+    o = _spread(load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate"))
     slash = F.date_format("o_orderdate", "yyyy/MM/dd")
     compact = F.date_format("o_orderdate", "yyyyMMdd")
     return o.select(
@@ -239,7 +265,7 @@ def q_era_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
     construct Heisei strings for even orderkeys and Reiwa (+24y shift) for
     odd ones, parse them back; the oracle computes the expected Gregorian
     date directly, so any era-base drift fails the match."""
-    o = load(spark, sf_dir, "orders")
+    o = _spread(load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate"))
     y = F.year("o_orderdate")
     mmdd = F.date_format("o_orderdate", "MM.dd")
     heisei = F.concat(F.lit("H"), F.lpad((y - 1988).cast("string"), 2, "0"), F.lit("."), mmdd)
@@ -268,7 +294,7 @@ def q_timestamp_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     JST wall-clock strings → UTC instants. The oracle computes the same
     instant via fixed-offset arithmetic (epoch - 9h), so a DST/zone-math
     error in the engine fails the hash."""
-    e = load(spark, sf_dir, "events")
+    e = _spread(load(spark, sf_dir, "events").select("event_id", "ts"))
     raw = F.date_format("ts", "yyyy/MM/dd HH:mm:ss")
     utc = normalize_timestamp(raw, "yyyy/MM/dd HH:mm:ss", "Asia/Tokyo")
     return e.select(
@@ -365,7 +391,7 @@ def q_kanji_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T3 Japanese-locale date normalization round-trip
     (/root/reference/contrib/handlers/sony_bank.go:16-21): render orders
     dates as ``yyyy年MM月dd日`` strings and parse them back to ISO."""
-    o = load(spark, sf_dir, "orders")
+    o = _spread(load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate"))
     raw = F.date_format("o_orderdate", "yyyy'年'MM'月'dd'日'")
     return o.select(
         "o_orderkey", raw.alias("raw"), normalize_date_kanji(raw).alias("parsed")
@@ -631,7 +657,9 @@ def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    corpus = e.filter(F.col("vec_id") >= 3)
+    # r6: spread the single-split corpus scan — the 6-plane signed-sum
+    # bucketing is the dominant per-row cost and ran in one task
+    corpus = _spread(e.filter(F.col("vec_id") >= 3))
     r = lsh_topk(corpus, q, k=5, n_bits=6, dim=64, seed=42, sign="md5")
     return r.select(
         "query_id",
@@ -713,7 +741,11 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    corpus = e.filter(F.col("vec_id") >= 3)
+    # r6: spread the single-split corpus scan (round-robin — keyed vec_id
+    # partitioning is not reused downstream and the audit asserts no
+    # corpus-wide hashpartitioning(vec_id) exchange) so the per-row
+    # 8-cell argmax assignment parallelizes
+    corpus = _spread(e.filter(F.col("vec_id") >= 3))
     r = ivf_topk(corpus, q, k=5, n_cells=8, nprobe=2)
     return r.select(
         "query_id",
@@ -828,7 +860,7 @@ EXACT_DEDUP_SQL = """
 
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprint: normalized-text digest + shingle count."""
-    d = load(spark, sf_dir, "documents")
+    d = _spread(load(spark, sf_dir, "documents"), "doc_id")
     toks = F.expr(_TOKENS)
     return d.select(
         "doc_id",
@@ -850,7 +882,7 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting rolled up per language. All-BIGINT outputs: the mean
     is integer-scaled (``avg_tokens_e4`` = floor(avg * 10^4)) via pure
     integer division so both engines compute the identical value."""
-    d = load(spark, sf_dir, "documents")
+    d = _spread(load(spark, sf_dir, "documents"), "doc_id")
     n = F.size(F.expr(_TOKENS)).cast("long")
     agg = d.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -886,7 +918,7 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language ID: English stopword ratio over tokens, emitted
     as ``stop_ratio_e6`` = floor(ratio * 10^6) via integer division
     (zero-token docs → NULL ratio, 'other' — ANSI-safe, no DivideByZero)."""
-    d = load(spark, sf_dir, "documents")
+    d = _spread(load(spark, sf_dir, "documents"), "doc_id")
     stop_arr = ", ".join(f"'{w}'" for w in _STOPWORDS)
     base = d.select(
         "doc_id",
@@ -933,7 +965,7 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: length, mean token length, lexical diversity — all
     integer-scaled BIGINT (e4) via integer division; zero-token docs yield
     NULL metrics instead of DivideByZero (ANSI-safe)."""
-    d = load(spark, sf_dir, "documents")
+    d = _spread(load(spark, sf_dir, "documents"), "doc_id")
     toks = F.expr(_TOKENS)
     base = d.select(
         "doc_id",
@@ -1002,7 +1034,7 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles carry no near-dup signal but create DF²/2 join rows). Jaccard
     is computed over the capped shingle universe on BOTH sides, emitted as
     ``jaccard_e4`` (floor(j * 10^4), pure integer division)."""
-    d = load(spark, sf_dir, "documents")
+    d = _spread(load(spark, sf_dir, "documents"), "doc_id")
     # tokenize once into a projected column; building shingles from the
     # raw text re-derives filter(split(...)) three times per row
     tk = d.select(
@@ -1083,8 +1115,12 @@ _MINHASH_SEEDS = ("s1", "s2", "s3", "s4")
 
 def _minhash_bands(d: DataFrame) -> DataFrame:
     """(doc_id, band, bi): md5 minhash (4 seeds) → 2 bands of 2 — the
-    shared LSH bucketing behind ``minhash_lsh`` and ``dedup_clusters``."""
-    toks = d.select(
+    shared LSH bucketing behind ``minhash_lsh`` and ``dedup_clusters``.
+    r6: the document scan is spread on doc_id first — tokenize + 4 md5
+    min-hashes per token otherwise run inside the single scan task, and
+    the signature aggregate reuses the doc_id partitioning (no second
+    exchange)."""
+    toks = _spread(d, "doc_id").select(
         "doc_id", F.explode(F.array_distinct(F.expr(_TOKENS))).alias("tok")
     )
     sig = toks.groupBy("doc_id").agg(
@@ -1110,22 +1146,71 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     quadratic in bucket size by definition (clustering should consume the
     star edges of ``dedup_clusters`` instead of this listing).
 
-    The self-join is hinted to SHUFFLE (merge) rather than broadcast: with
-    both sides shuffled on (band, bi) the two subtrees are identical
-    exchanges and Spark's ReuseExchange rule computes the whole
-    tokenize → md5-minhash → bands pipeline ONCE (the broadcast variant
-    ran it twice — r5 isolation profile: ~6 s of the row's ~10 s was the
-    duplicated signature stage). Same shape a 10^9-doc corpus needs,
-    where the bands side could never broadcast anyway."""
-    bands = _minhash_bands(load(spark, sf_dir, "documents"))
-    return (
-        bands.alias("a")
-        .hint("merge")
-        .join(bands.alias("b").hint("merge"), ["band", "bi"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
-        .distinct()
+    r6 restructure (same result set, proven row-identical vs the oracle):
+
+    1. **Skew**: the r5 single self-join on (band, bi) generated each
+       bucket's pairs in ONE task — at sf1.0 the top dup-family bucket
+       has 31.7k members ≈ 502M pairs in one straggler (driver-measured
+       1784 s). Each band now goes through
+       :func:`operators.dedup.blocked_self_join` (guide §2.5): buckets
+       are sliced in doc_id order and every slice-pair is an independent
+       join key, spreading the quadratic generation across the cluster.
+    2. **No distinct exchange**: the old ``.distinct()`` shuffled the
+       full ~1e9-row pair stream once more just to drop pairs colliding
+       in BOTH bands. Band-1 pairs are emitted unconditionally; band-2
+       pairs only where the two docs' band-1 buckets differ — a pure
+       filter on columns already riding the rows. The union is exactly
+       the distinct pair set (a pair is emitted by the b1-join iff b1
+       collides, by the b2-join iff b2 collides and b1 does not), so the
+       billion-row exchange and its HashAggregate disappear outright
+       (guide §2.4); verified row-identical in DuckDB at sf0.1
+       (7,707,125 pairs, EXCEPT both ways = 0).
+    3. The per-band signature table (doc_id + two 32-char band hashes,
+       ~90 B/doc) is localCheckpointed so the tokenize → min-md5
+       aggregate runs ONCE for the four join sides instead of four
+       times. This is an in-query materialization of a linear-size
+       intermediate, recomputed on every invocation."""
+    d = load(spark, sf_dir, "documents")
+    toks = _spread(d, "doc_id").select(
+        "doc_id", F.explode(F.array_distinct(F.expr(_TOKENS))).alias("tok")
     )
+    sig = toks.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(s), F.col("tok")))).alias(f"h{i+1}")
+            for i, s in enumerate(_MINHASH_SEEDS)
+        ]
+    )
+    sigb = sig.select(
+        "doc_id",
+        F.md5(F.concat("h1", "h2")).alias("b1"),
+        F.md5(F.concat("h3", "h4")).alias("b2"),
+    ).localCheckpoint(eager=True)
+
+    from go_bqloader_spark.operators.dedup import blocked_self_join
+
+    n_part = spark.sparkContext.defaultParallelism * 2
+
+    def band_pairs(bcol: str, not_already: str | None) -> DataFrame:
+        lf, rt = blocked_self_join(sigb, [bcol], "doc_id", chunk=1024)
+        # explicit-N repartition on the join keys: the join INPUT is a
+        # few MB of narrow rows, so AQE coalesces the planner's
+        # exchanges to 1-2 partitions — but the join OUTPUT is ~1000x
+        # its input (quadratic pair generation), which AQE cannot see.
+        # User-fixed partitioning is respected and satisfies the join's
+        # clustering requirement, keeping the generation on N tasks.
+        keys = [bcol, "__ci", "__cj"]
+        j = (
+            lf.repartition(n_part, *keys).alias("a")
+            .join(rt.repartition(n_part, *keys).alias("b"), keys)
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        )
+        if not_already is not None:
+            j = j.filter(F.col(f"a.{not_already}") != F.col(f"b.{not_already}"))
+        return j.select(
+            F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2")
+        )
+
+    return band_pairs("b1", None).unionByName(band_pairs("b2", "b1"))
 
 
 # shared tok/sig/bands CTE body (DuckDB) — the md5 bucketing both oracle
@@ -1281,23 +1366,56 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     embedding dedup. Blocking on ``label`` (the natural shard/cluster key)
     keeps the pairwise work per block; the unblocked scale path is
     hyperplane-LSH bucketing (``lsh_topk``/``hyperplane_lsh_buckets``).
-    Output is ``cos_e4`` BIGINT (floor(cos * 10^4)) for hash stability."""
+    Output is ``cos_e4`` BIGINT (floor(cos * 10^4)) for hash stability.
+
+    r6 optimization (identical results; r5 driver-measured 330 s at
+    sf1.0, all in ONE task): (1) per-vector norms are computed ONCE per
+    vector below the join instead of twice per pair (the old plan folded
+    both 64-element norms for every one of the ~20M pairs — 2/3 of the
+    per-pair work thrown away, guide §1.2); (2) the streamed side is
+    hash-repartitioned on ``v1`` before the broadcast join — the
+    embeddings parquet is a single input split, so the whole quadratic
+    pair generation otherwise runs in ONE task (guide §2.5). The pair
+    dot stays an ``aggregate(zip_with(...))`` fold: a fully unrolled
+    64-term ``element_at`` sum was tried and generates a method past
+    HotSpot's 8 KB JIT limit — it compiles but runs in the bytecode
+    interpreter at ~10x the fold's cost (measured 74 s vs ~5 s at
+    sf1.0)."""
     e = load(spark, sf_dir, "embeddings")
-    a = e.select(F.col("vec_id").alias("v1"), "label", F.col("embedding").alias("e1"))
-    b = e.select(F.col("vec_id").alias("v2"), "label", F.col("embedding").alias("e2"))
+    # same fold expression as before for the norm — per-vector cost is
+    # linear and bit-compatibility with the oracle is already proven
+    nrm = F.sqrt(
+        F.expr(
+            "aggregate(embedding, CAST(0.0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))"
+        )
+    )
+    v = e.select("vec_id", "label", "embedding", nrm.alias("__n"))
+    a = v.select(
+        F.col("vec_id").alias("v1"), "label",
+        F.col("embedding").alias("e1"), F.col("__n").alias("n1"),
+    )
+    b = v.select(
+        F.col("vec_id").alias("v2"), "label",
+        F.col("embedding").alias("e2"), F.col("__n").alias("n2"),
+    )
     dot = F.expr(
         "aggregate(zip_with(e1, e2, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
     )
-    nrm = lambda c: F.sqrt(  # noqa: E731
-        F.expr(
-            f"aggregate({c}, CAST(0.0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))"
-        )
-    )
     # +1e-6 boundary guard — same cross-engine floor() rationale as
     # q_ann_cosine_topk (sum order differs between Spark and DuckDB)
-    cos_e4 = F.floor(dot / (nrm("e1") * nrm("e2")) * F.lit(10000.0) + F.lit(1e-6))
+    cos_e4 = F.floor(
+        dot / (F.col("n1") * F.col("n2")) * F.lit(10000.0) + F.lit(1e-6)
+    )
+    # explicit partition count: repartition("v1") without N is a tiny
+    # (~vector-table-sized) shuffle that AQE happily coalesces back to ONE
+    # partition — the quadratic pair generation downstream would then run
+    # in one task again. A user-fixed N is respected by AQE; derived from
+    # the session's parallelism, so it scales with the cluster, not a
+    # constant tuned to local[32].
+    n_part = spark.sparkContext.defaultParallelism * 2
     return (
-        a.join(b, "label")
+        a.repartition(n_part, "v1")
+        .join(F.broadcast(b), "label")
         .filter(F.col("v1") < F.col("v2"))
         .select("label", "v1", "v2", cos_e4.alias("cos_e4"))
         # the synthetic corpus has no true near-dups (max within-label cos
@@ -1336,7 +1454,7 @@ def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     punctuation — the pre-tokenizer split every BPE vocab starts from),
     alongside the whitespace count. Disjoint classes, so the class counts
     sum to the total; pure counts → hash-stable."""
-    d = load(spark, sf_dir, "documents")
+    d = _spread(load(spark, sf_dir, "documents"), "doc_id")
     cnt = lambda pat: F.size(  # noqa: E731
         F.regexp_extract_all(F.col("text"), F.lit(pat), 0)
     ).cast("long")
@@ -1381,7 +1499,7 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     with map-side partials; at 100 TB this is the canonical two-phase
     word count and the input to BPE vocab induction / DF-based stopword
     lists. Deterministic order: (n_total desc, token asc)."""
-    d = load(spark, sf_dir, "documents")
+    d = _spread(load(spark, sf_dir, "documents"), "doc_id")
     tok = d.select("doc_id", F.explode(F.expr(_TOKENS)).alias("token"))
     return (
         tok.groupBy("token")
@@ -1425,7 +1543,7 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: k, the exact distinct count, the KMV estimate (scaled e2),
     and the relative error in e4 — all BIGINT for hash stability."""
     k = 256
-    d = load(spark, sf_dir, "documents")
+    d = _spread(load(spark, sf_dir, "documents"), "doc_id")
     toks = d.select(
         F.md5(F.lower(F.trim(F.col("text")))).alias("tok")
     ).distinct()
@@ -1502,7 +1620,7 @@ def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollup)."""
     from go_bqloader_spark.operators.textpipeline import paragraph_dedup
 
-    return paragraph_dedup(load(spark, sf_dir, "documents"))
+    return paragraph_dedup(_spread(load(spark, sf_dir, "documents"), "doc_id"))
 
 
 PARAGRAPH_DEDUP_SQL = f"""
@@ -1537,7 +1655,7 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     BIGINT 0/1 for hash stability."""
     from go_bqloader_spark.operators.textpipeline import repetition_stats
 
-    r = repetition_stats(load(spark, sf_dir, "documents"))
+    r = repetition_stats(_spread(load(spark, sf_dir, "documents"), "doc_id"))
     return r.select(
         "doc_id", "n_tokens", "dup_ratio_e6", "top_bigram_n",
         "top_bigram_e6",
@@ -1606,7 +1724,7 @@ def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``tf * ((N * 1e6) DIV df)`` — monotone in N/df, bit-exact)."""
     from go_bqloader_spark.operators.textpipeline import tfidf_topk
 
-    return tfidf_topk(load(spark, sf_dir, "documents"), k=3)
+    return tfidf_topk(_spread(load(spark, sf_dir, "documents"), "doc_id"), k=3)
 
 
 TFIDF_SQL = f"""
@@ -1642,7 +1760,7 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     redaction parity is hash-checked without shipping the text."""
     from go_bqloader_spark.operators.textpipeline import pii_scrub
 
-    d = load(spark, sf_dir, "documents").withColumn(
+    d = _spread(load(spark, sf_dir, "documents"), "doc_id").withColumn(
         "text",
         F.concat(
             F.col("text"),
@@ -1728,7 +1846,7 @@ def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     to. Pure projection (zero shuffles at any scale)."""
     from go_bqloader_spark.functions.urlnorm import canonical_url
 
-    d = load(spark, sf_dir, "documents")
+    d = _spread(load(spark, sf_dir, "documents").select("doc_id"), "doc_id")
     host = F.concat(F.lit("ex"), (F.col("doc_id") % 40).cast("string"))
     i = F.col("doc_id").cast("string")
     url = (
@@ -1825,7 +1943,9 @@ def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``(lang, 2 ints, fp)`` projection, never the text."""
     from go_bqloader_spark.operators.textpipeline import corpus_stats
 
-    return corpus_stats(load(spark, sf_dir, "documents"), group_col="lang")
+    return corpus_stats(
+        _spread(load(spark, sf_dir, "documents"), "doc_id"), group_col="lang"
+    )
 
 
 CORPUS_STATS_SQL = f"""
@@ -1860,7 +1980,7 @@ def q_domain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     string; the text reduces map-side to two integers."""
     from go_bqloader_spark.functions.urlnorm import registrable_domain
 
-    d = load(spark, sf_dir, "documents")
+    d = _spread(load(spark, sf_dir, "documents"), "doc_id")
     site = F.concat(F.lit("site"), (F.col("doc_id") % 50).cast("string"))
     tld = (
         F.when(F.col("doc_id") % 4 == 0, F.lit("com"))
