@@ -137,12 +137,15 @@ def repetition_stats(
 
     Only documents with >= 2 tokens appear (no bigrams otherwise).
 
-    Scale shape: token/bigram construction is array-side in one
-    projection; the per-document bigram mode needs one exchange on
-    ``(id, bigram)`` (map-side partial counts collapse the duplicates —
-    the exact rows this filter hunts — before the shuffle) and one on
-    ``id`` for the doc rollup. Nothing global; skew is bounded by
-    document length, not corpus size."""
+    Scale shape (r6): ZERO exchanges. The per-document bigram mode is
+    computed array-side — sort the bigram array and take the longest
+    equal run (identical to max per-bigram count, exactly: sorting
+    groups equal bigrams adjacently) — so the whole operator is one
+    projection over the scan; the old shape exploded every bigram
+    string through a ``(id, bigram)`` exchange plus a second ``id``
+    rollup exchange (guide §2.4: remove shuffles outright). Per-row
+    cost is O(tokens log tokens), bounded by document length, not
+    corpus size."""
     # tokenize ONCE (see chunk_documents): the bigram lambda indexes the
     # materialized array instead of re-splitting the text per bigram
     t = df.select(F.col(id_col), _toks(text_col).alias("__toks"))
@@ -150,19 +153,24 @@ def repetition_stats(
         "transform(sequence(1, size(__toks) - 1),"
         " i -> concat(element_at(__toks, i), ' ', element_at(__toks, i + 1)))"
     )
-    base = t.select(
+    # longest equal run over the sorted bigram array == max bigram count
+    top_run = (
+        "aggregate(array_sort({g}), "
+        "named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'best', 0L), "
+        "(acc, g) -> named_struct("
+        " 'prev', g,"
+        " 'run', IF(acc.prev IS NOT NULL AND g = acc.prev, acc.run + 1, 1L),"
+        " 'best', GREATEST(acc.best,"
+        "   IF(acc.prev IS NOT NULL AND g = acc.prev, acc.run + 1, 1L))), "
+        "acc -> acc.best)"
+    ).format(g=grams)
+    per_doc = t.select(
         F.col(id_col),
         F.size("__toks").cast("long").alias("n_tokens"),
         F.size(F.array_distinct("__toks")).cast("long").alias("n_distinct"),
-        F.explode(F.expr(grams)).alias("bigram"),
+        F.expr(top_run).alias("top_bigram_n"),
+        (F.size("__toks") - 1).cast("long").alias("n_bigrams"),
     ).where(F.col("n_tokens") >= 2)
-    per_gram = base.groupBy(id_col, "n_tokens", "n_distinct", "bigram").agg(
-        F.count(F.lit(1)).alias("c")
-    )
-    per_doc = per_gram.groupBy(id_col, "n_tokens", "n_distinct").agg(
-        F.max("c").alias("top_bigram_n"),
-        F.sum("c").alias("n_bigrams"),
-    )
     dup_e6 = F.expr("(n_tokens - n_distinct) * 1000000 DIV n_tokens")
     top_e6 = F.expr("top_bigram_n * 1000000 DIV n_bigrams")
     return per_doc.select(

@@ -1455,8 +1455,11 @@ def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     alongside the whitespace count. Disjoint classes, so the class counts
     sum to the total; pure counts → hash-stable."""
     d = _spread(load(spark, sf_dir, "documents"), "doc_id")
-    cnt = lambda pat: F.size(  # noqa: E731
-        F.regexp_extract_all(F.col("text"), F.lit(pat), 0)
+    # r6: regexp_count counts matches without materializing the match
+    # array regexp_extract_all builds (same non-overlapping match
+    # semantics, oracle-verified)
+    cnt = lambda pat: F.regexp_count(  # noqa: E731
+        F.col("text"), F.lit(pat)
     ).cast("long")
     base = d.select(
         "doc_id",

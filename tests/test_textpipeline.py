@@ -80,6 +80,66 @@ def test_repetition_stats_flags_repetitive_doc(spark):
     assert not out[2]["low_quality"] and out[2]["dup_ratio_e6"] == 0
 
 
+def test_repetition_stats_matches_explode_groupby_reference(spark):
+    """r6: the array-side longest-equal-run bigram mode must equal the
+    old explode + per-bigram-count formulation exactly, and the operator
+    plan must carry NO exchange (the r6 claim: zero shuffles)."""
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(12)]
+    rows = []
+    for did in range(1, 41):
+        n = rng.randint(2, 60)
+        toks = [rng.choice(vocab) for _ in range(n)]
+        if did % 3 == 0:  # plant a hot repeated bigram run
+            toks[:0] = ["x", "y"] * rng.randint(2, 8)
+        rows.append((did, " ".join(toks)))
+    d = _docs(spark, rows)
+
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["dup_ratio_e6"], r["top_bigram_n"],
+                      r["top_bigram_e6"], r["low_quality"])
+        for r in repetition_stats(d).collect()
+    }
+
+    # reference: the pre-r6 explode + groupBy formulation
+    t = d.select(
+        "doc_id",
+        F.expr("filter(split(text, ' '), x -> x <> '')").alias("tk"),
+    )
+    base = t.select(
+        "doc_id",
+        F.size("tk").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("tk")).cast("long").alias("n_distinct"),
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(tk) - 1),"
+                " i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1)))"
+            )
+        ).alias("bigram"),
+    ).where(F.col("n_tokens") >= 2)
+    ref_rows = (
+        base.groupBy("doc_id", "n_tokens", "n_distinct", "bigram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id", "n_tokens", "n_distinct")
+        .agg(F.max("c").alias("top_n"), F.sum("c").alias("n_bigrams"))
+        .collect()
+    )
+    ref = {}
+    for r in ref_rows:
+        dup = (r["n_tokens"] - r["n_distinct"]) * 1_000_000 // r["n_tokens"]
+        top = r["top_n"] * 1_000_000 // r["n_bigrams"]
+        ref[r["doc_id"]] = (
+            r["n_tokens"], dup, r["top_n"], top,
+            dup > 300_000 or top > 180_000,
+        )
+    assert got == ref
+
+    plan = repetition_stats(d)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
 def test_stratified_sample_deterministic_and_rate_bounded(spark):
     d = spark.createDataFrame(
         [(i, "a" if i % 2 else "b") for i in range(2000)],
