@@ -300,6 +300,7 @@ def connected_components(
     dst: str = "d2",
     id_col: str = "id",
     max_iter: int = 25,
+    driver_finish_max_edges: int = 1_000_000,
 ) -> DataFrame:
     """Connected components over an undirected candidate-pair graph — the
     final step of corpus near-dedup (pairs → duplicate CLUSTERS → keep one
@@ -316,12 +317,17 @@ def connected_components(
        self-loops/duplicates. Cliques vanish entirely; what survives is
        the (tiny) quotient graph of not-yet-merged label classes — at
        sf0.1 this is 9.4M edges → a few thousand.
-    3. Iterate jump+hop rounds on the contracted graph only: each round a
-       label first adopts the current label OF its label (pointer jumping
-       / path compression — O(log diameter) rounds), then the min over
+    3. Resolve the quotient graph: below ``driver_finish_max_edges``
+       (r6) an exact min-root union-find runs on the driver over the
+       collected quotient edges — bounded metadata (narrow label pairs,
+       ~16 MB at the default gate), replacing ~4 Spark jobs per
+       iteration round with one collect. Above the gate, iterate
+       jump+hop rounds on the contracted graph only: each round a label
+       first adopts the current label OF its label (pointer jumping /
+       path compression — O(log diameter) rounds), then the min over
        its quotient-graph neighbors. Per-round cost is label-sized, not
-       edge-sized — the full edge set is scanned O(1) times total instead
-       of O(rounds).
+       edge-sized — the full edge set is scanned O(1) times total
+       instead of O(rounds).
     4. Compose: final(a) = contracted_label(hop1_label(a)).
 
     The driver loop checks a scalar convergence count per round (one
@@ -369,6 +375,53 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
+
+    # (3a — r6) driver finish for small quotient graphs: after the
+    # contraction the graph is the residue of not-yet-merged label
+    # classes — a few thousand edges at every tested scale (cliques
+    # vanish in step 1/2). The jump+hop loop below costs ~4 tiny Spark
+    # jobs PER ROUND plus localCheckpoints — pure driver-side job
+    # overhead when the data is kilobytes. Below the size gate the
+    # quotient edges are collected (bounded: <= driver_finish_max_edges
+    # narrow pairs, ~16 MB at the default) and resolved with an exact
+    # union-find keeping the min member as root — identical labels to
+    # the loop's fixpoint, measured ~4 s faster at sf1.0. Above the
+    # gate the label-sized iterate loop runs unchanged (the 10^10-doc
+    # shape).
+    n_cedges = cund.count()
+    if n_cedges <= driver_finish_max_edges:
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in cund.collect():
+            ra, rb = find(row["a"]), find(row["b"])
+            if ra != rb:
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        mapping = [(n, find(n)) for n in list(parent)]
+        spark = edges.sparkSession
+        a_type = cund.schema["a"].dataType.simpleString()
+        if mapping:
+            labels = spark.createDataFrame(
+                mapping, f"a {a_type}, lbl {a_type}"
+            )
+        else:
+            labels = cund.select("a", F.col("a").alias("lbl")).limit(0)
+        cl = labels.select(F.col("a").alias("__n"), F.col("lbl").alias("__l2"))
+        return (
+            l1.join(F.broadcast(cl), l1["lbl"] == cl["__n"], "left")
+            .select(
+                F.col("a").alias(id_col),
+                F.coalesce("__l2", "lbl").alias("cluster_id"),
+            )
+        )
 
     # (3) jump+hop rounds on the contracted graph
     labels = (

@@ -59,22 +59,37 @@ def test_minhash_dedup_finds_near_dups(spark, near_dups):
     assert any(d1 in (1, 2) and d2 == 3 for d1, d2 in pairs)  # near dup found
 
 
-def test_minhash_lsh_query_reuses_signature_stage(spark):
-    """r5: the registry minhash_lsh self-join is hinted to a shuffle join
-    so both sides share one Exchange hashpartitioning(band, bi) and AQE's
-    ReuseExchange computes the tokenize→md5-minhash pipeline ONCE (the
-    broadcast variant ran it twice — ~6 s of the sf0.1 bench row). Static
-    EXPLAIN can't show this (it's a runtime AQE rewrite), so assert on
-    the final adaptive plan after execution."""
-    from go_bqloader_spark.plans.queries import q_minhash_lsh
+def test_minhash_lsh_query_runs_signature_pipeline_once(spark):
+    """r6: the signature table is localCheckpointed at query-build time,
+    so the pair-generation plan reads the materialized (doc_id, b1, b2)
+    rows — NO parquet re-scan in any of the four chunk-join sides (the
+    r5 ReuseExchange trick covered only two) — and the band-2 join's
+    b1-inequality filter replaces the old billion-row distinct, so no
+    aggregate remains in the pair plan. The emitted pair set must equal
+    the r5 bucket-join + distinct formulation exactly."""
+    from go_bqloader_spark.plans.queries import (
+        _minhash_bands, load as _load, q_minhash_lsh,
+    )
 
     df = q_minhash_lsh(spark, SF)
-    rows = df.collect()  # execute THIS frame so its final plan is final
+    rows = {(r["d1"], r["d2"]) for r in df.collect()}
     assert rows  # sf0.001 corpus has near-dup collisions
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "isFinalPlan=true" in plan
-    assert plan.count("ReusedExchange") >= 1
-    assert "BroadcastHashJoin" not in plan  # shuffle join both sides
+    assert "Scan parquet" not in plan  # signatures materialized once
+    assert "HashAggregate" not in plan and "SortAggregate" not in plan
+
+    bands = _minhash_bands(_load(spark, SF, "documents"))
+    ref = {
+        (r["d1"], r["d2"])
+        for r in (
+            bands.alias("a")
+            .join(bands.alias("b"), ["band", "bi"])
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+            .distinct()
+        ).collect()
+    }
+    assert rows == ref
 
 
 def test_minhash_candidates_superset_of_exact_dups(spark):
@@ -272,12 +287,43 @@ def test_connected_components_raises_on_non_convergence(spark):
     from go_bqloader_spark.operators.dedup import connected_components
 
     # a 40-node path: after the hop+contract prelude the quotient graph is
-    # still a ~20-node path; 1 jump+hop round cannot close it
+    # still a ~20-node path; 1 jump+hop round cannot close it.
+    # driver_finish_max_edges=0 forces the iterate loop (r6: small
+    # quotient graphs are otherwise finished exactly on the driver).
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(39)], "d1 bigint, d2 bigint"
     )
     with _pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(edges, max_iter=1, id_col="doc_id").collect()
+        connected_components(
+            edges, max_iter=1, id_col="doc_id", driver_finish_max_edges=0
+        ).collect()
+
+
+def test_connected_components_driver_finish_equals_loop(spark):
+    """r6: the size-gated driver union-find finish must produce labels
+    identical to the distributed jump+hop loop on the same graph."""
+    import random
+
+    from go_bqloader_spark.operators.dedup import connected_components
+
+    rng = random.Random(11)
+    n = 400
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(320)]
+    edges += [(i, i + 1) for i in range(60, 100)]  # a long path component
+    edges = [(a, b) for a, b in edges if a != b]
+    e = spark.createDataFrame(edges, "d1 bigint, d2 bigint")
+    verts = spark.createDataFrame([(i,) for i in range(n)], "doc_id bigint")
+    via_driver = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(e, vertices=verts, id_col="doc_id").collect()
+    }
+    via_loop = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(
+            e, vertices=verts, id_col="doc_id", driver_finish_max_edges=0
+        ).collect()
+    }
+    assert via_driver == via_loop
 
 
 def test_near_dup_clusters_end_to_end(spark):
