@@ -299,7 +299,11 @@ class LakeTable:
             pes = parent_b.get(b)
             if pes is None:
                 if es:
-                    adds[b] = es
+                    adds[b] = list(es)  # copy: never alias a cached
+                    # manifest's live entry list into the group dict
+                    # (ADVICE r5, low — _gcache/_mcache share lists
+                    # otherwise and an in-place caller mutation would
+                    # silently diverge the caches from disk)
                 continue
             if es == pes:
                 continue
@@ -308,7 +312,7 @@ class LakeTable:
             else:
                 replaces.append(b)
                 if es:
-                    adds[b] = es
+                    adds[b] = list(es)
         for b, pes in parent_b.items():
             if b not in new_b and pes:
                 replaces.append(b)
@@ -374,6 +378,16 @@ class LakeTable:
             pm = self.manifest(parent)
             parent_buckets = pm["buckets"]
             parent_groups = list(pm.get("groups", []))
+            if "groups" not in pm:
+                # legacy format-2 parent (ADVICE r5, high): its entries
+                # live ONLY inline in the parent manifest file — there is
+                # no group file a cold reader could resolve them from.
+                # Diff against {} so this first format-3 commit captures
+                # the parent's full resolved state as the migration group;
+                # diffing against the inline buckets would serialize only
+                # the delta and silently drop every pre-existing entry for
+                # any reader without this writer's warm cache.
+                parent_buckets = {}
         adds, replaces = self._diff_buckets(parent_buckets, manifest["buckets"])
         groups = parent_groups
         if adds or replaces:
@@ -1629,7 +1643,10 @@ class LakeTable:
         that is the point."""
         chain = list(self._walk_chain())
         if len(chain) <= keep_n:
-            return {"expired": 0, "data_dirs_removed": 0}
+            # full stats shape even on the short-chain early return
+            # (ADVICE r5, low: callers index 'group_files_removed')
+            return {"expired": 0, "data_dirs_removed": 0,
+                    "group_files_removed": 0}
         retained, expired = chain[:keep_n], chain[keep_n:]
 
         rows = [tuple(r) for m in expired for r in m.get("metrics", [])]
@@ -1653,14 +1670,26 @@ class LakeTable:
         # entry-group GC: groups referenced by NO retained manifest are
         # dead (expired history, or a CAS-losing writer's orphan) — same
         # age grace as data dirs, since an in-flight commit writes its
-        # group before its manifest CAS
+        # group before its manifest CAS. Version guard (ADVICE r5,
+        # medium), mirroring the data-dir GC's: a group whose g%08d
+        # prefix is ABOVE the newest retained version belongs to a
+        # CAS-committed-but-unpublished manifest (crashed writer) that
+        # _repair_orphan_manifest may still validate and publish —
+        # deleting its group would leave LATEST pointing at an
+        # unresolvable snapshot.
         now = time.time()
+        current = retained[0]["version"]
         refg = {g for m in retained for g in m.get("groups", [])}
         groups_removed = 0
         mdir = os.path.join(self.path, _MANIFESTS)
         for f in self.fs.listdir(mdir):
             if not (f.startswith("g") and f.endswith(".json")) or f in refg:
                 continue
+            try:
+                if int(f[1:9]) > current:
+                    continue
+            except ValueError:
+                pass
             gp = os.path.join(mdir, f)
             try:
                 if now - self.fs.mtime(gp) < orphan_grace_sec:
@@ -1672,7 +1701,6 @@ class LakeTable:
             groups_removed += 1
 
         removed = 0
-        current = retained[0]["version"]
         now = time.time()
         data_root = os.path.join(self.path, "data")
         for commit_dir in self.fs.listdir(data_root):

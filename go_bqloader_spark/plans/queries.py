@@ -882,7 +882,9 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting rolled up per language. All-BIGINT outputs: the mean
     is integer-scaled (``avg_tokens_e4`` = floor(avg * 10^4)) via pure
     integer division so both engines compute the identical value."""
-    d = _spread(load(spark, sf_dir, "documents"), "doc_id")
+    # keyless spread: downstream groups by lang, so doc_id partitioning
+    # buys nothing (and the audit asserts no doc-keyed exchange here)
+    d = _spread(load(spark, sf_dir, "documents"))
     n = F.size(F.expr(_TOKENS)).cast("long")
     agg = d.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -1546,7 +1548,8 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: k, the exact distinct count, the KMV estimate (scaled e2),
     and the relative error in e4 — all BIGINT for hash stability."""
     k = 256
-    d = _spread(load(spark, sf_dir, "documents"), "doc_id")
+    d = load(spark, sf_dir, "documents")  # md5-per-doc is scan-bound; a
+    # spread shuffle measured as pure overhead at both sf0.1 and sf1.0
     toks = d.select(
         F.md5(F.lower(F.trim(F.col("text")))).alias("tok")
     ).distinct()

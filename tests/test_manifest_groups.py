@@ -130,6 +130,15 @@ def test_inline_format2_manifest_still_readable(spark, tmp_path):
     t2.merge(_batch(spark, 1), batch_key=("q", 1))
     assert len(t2.read().collect()) == len(before)
     assert set(t2.entries_per_bucket().values()) == {2}
+    # COLD reader (ADVICE r5, high): a fresh LakeTable must resolve the
+    # post-migration manifest from DISK alone — the first format-3 commit
+    # after a format-2 parent must have captured the parent's inline
+    # entries in a group file, not just its own delta (asserting through
+    # the writer's warm _mcache masked exactly that loss)
+    t3 = LakeTable(spark, str(tmp_path / "tbl"))
+    assert sorted(map(tuple, t3.read().collect())) == \
+        sorted(map(tuple, t2.read().collect()))
+    assert set(t3.entries_per_bucket().values()) == {2}
 
 
 def test_group_coalescing_bounds_live_list(spark, tmp_path):
