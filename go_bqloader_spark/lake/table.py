@@ -834,6 +834,11 @@ class LakeTable:
                         # to the current type on read — lossless by the
                         # _WIDENINGS contract, no file rewrite
                         c = c.cast(_spark_type(f["type"]))
+                    if f["name"] == DELETED_COL:
+                        # delta files store tombstones as TRUE-or-NULL so
+                        # footer null_count gives exact deleted counts;
+                        # readers always see the historical false/true
+                        c = F.coalesce(c, F.lit(False))
                     cols.append(c.alias(f["name"]))
                 else:
                     cols.append(F.lit(None).cast(_spark_type(f["type"])).alias(f["name"]))
@@ -1063,13 +1068,18 @@ class LakeTable:
             first_of_key = ~F.lag(key[0]).over(w).eqNullSafe(F.col(key[0]))
             for k in key[1:]:
                 first_of_key = first_of_key | ~F.lag(k).over(w).eqNullSafe(F.col(k))
+            # _deleted is stored TRUE-or-NULL (NULL = live) in delta files:
+            # the parquet footer's exact per-chunk null_count then yields
+            # the tombstone count without any read-back job (see
+            # _footer_stats_zones). _read_raw normalizes NULL back to
+            # false, so every reader sees the same values as before.
             out_rows = (
                 bucketed.withColumn("__first", F.coalesce(first_of_key, F.lit(True)))
                 .filter(F.col("__first"))
                 .select(
                     *data_cols,
                     F.col("seq").alias(SEQ_COL),
-                    (F.col("op") == "D").alias(DELETED_COL),
+                    F.when(F.col("op") == "D", F.lit(True)).alias(DELETED_COL),
                     F.col("__b").alias("b"),
                 )
             )
@@ -1161,6 +1171,81 @@ class LakeTable:
             ],
         )
 
+    # zone-col types whose parquet footer min/max are EXACT mirrors of the
+    # manifest representation (_zone_expr): int64/int32 raw values, and
+    # fixed-width temporal raw values (timestamp-micros == unix_micros,
+    # date32 days == unix_date). Strings are excluded (writers may
+    # truncate binary stats) and doubles are excluded (parquet stats omit
+    # NaN; Spark's max sorts NaN greatest — the bounds could disagree).
+    _FOOTER_ZONE_TYPES = ("bigint", "int", "timestamp", "date")
+
+    def _footer_stats_zones(
+        self,
+        out_dir: str,
+        written: set[int],
+        m: dict[str, Any],
+        zone_cols: list[str],
+    ):
+        """Per-bucket lineage stats + zone bounds from parquet FOOTER
+        metadata — zero Spark jobs (guide §1.2: the stats read-back was
+        ~35% of the MoR merge wall; footers hold the same numbers).
+
+        Requires the TRUE-or-NULL ``_deleted`` coding (tombstones =
+        footer ``num_values - null_count``) and int-backed zone cols.
+        Returns ``(stats_rows, zones)`` or ``None`` when any needed
+        statistic is missing — the caller then falls back to the Spark
+        read-back, so this is only ever an optimization, never a
+        correctness dependency."""
+        types = {f["name"]: f["type"] for f in self.schema_fields(m)}
+        if any(types.get(c) not in self._FOOTER_ZONE_TYPES for c in zone_cols):
+            return None
+        import pyarrow.parquet as pq
+
+        stats_rows: list[tuple] = []
+        zones: dict[int, dict[str, list]] = {}
+        for b in sorted(written):
+            bdir = os.path.join(out_dir, f"b={b}")
+            n = deleted = 0
+            mx_seq = None
+            zb: dict[str, list] = {c: [None, None] for c in zone_cols}
+            for fname in self.fs.listdir(bdir):
+                if not fname.endswith(".parquet"):
+                    continue
+                md = pq.read_metadata(os.path.join(bdir, fname))
+                idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+                if SEQ_COL not in idx or DELETED_COL not in idx or any(
+                    c not in idx for c in zone_cols
+                ):
+                    return None
+                for rg in range(md.num_row_groups):
+                    g = md.row_group(rg)
+                    n += g.num_rows
+                    dc = g.column(idx[DELETED_COL])
+                    dst = dc.statistics
+                    if dst is None or not dst.has_null_count:
+                        return None
+                    deleted += dc.num_values - dst.null_count
+                    sst = g.column(idx[SEQ_COL]).statistics
+                    if sst is None or not sst.has_min_max:
+                        return None
+                    mx_seq = sst.max if mx_seq is None else max(mx_seq, sst.max)
+                    for c in zone_cols:
+                        zst = g.column(idx[c]).statistics
+                        if zst is None:
+                            return None
+                        if not zst.has_min_max:
+                            continue  # all-null chunk: Spark min/max skip nulls too
+                        lo, hi = zst.min_raw, zst.max_raw
+                        cur = zb[c]
+                        cur[0] = lo if cur[0] is None else min(cur[0], lo)
+                        cur[1] = hi if cur[1] is None else max(cur[1], hi)
+            if n:
+                stats_rows.append((b, mx_seq, n - deleted, deleted))
+                z = {c: v for c, v in zb.items() if v[0] is not None}
+                if z:
+                    zones[b] = z
+        return stats_rows, zones
+
     def _finish_merge(
         self,
         m: dict[str, Any],
@@ -1197,6 +1282,10 @@ class LakeTable:
             types = {f["name"]: f["type"] for f in self.schema_fields(m)}
             zone_cols = [c for c in zone_cols if types[c] != "string"]
         zones: dict[int, dict[str, list]] = {}
+        # True once zones were derived for this commit (footer path): an
+        # empty zones dict then means "genuinely no bounds" (all-null zone
+        # cols), not "not computed yet" — skips the dedicated read-back
+        zones_done = False
         blooms: dict[int, str] = {}
         bloom_on = self._bloom_bits(m) > 0
         obs = None
@@ -1234,42 +1323,59 @@ class LakeTable:
                     if vals[f"n{b}"]
                 ]
             else:
-                # one narrow column-pruned read-back computes the lineage
-                # stats AND the zone-map bounds AND the key blooms
-                # (same pass, same files)
-                back_cols = dict.fromkeys(
-                    ["b", SEQ_COL, DELETED_COL, *zone_cols]
-                    + (m["key"] if bloom_on else [])
-                )
-                back = self.spark.read.parquet(out_dir).select(*back_cols)
-                collected = (
-                    back.groupBy("b")
-                    .agg(
-                        F.max(SEQ_COL).alias("applied_max_seq"),
-                        F.count(F.lit(1)).alias("n"),
-                        F.sum(F.col(DELETED_COL).cast("long")).alias("rows_deleted"),
-                        *self._zone_aggs(m, zone_cols),
-                        *(self._bloom_aggs(m) if bloom_on else []),
+                # lineage stats + zone bounds straight from the parquet
+                # footers just written — a driver-side metadata pass, no
+                # second Spark job (the footer seam is local-FS only; an
+                # object-store fs would add a ranged-GET footer method)
+                footer = None
+                if not bloom_on and type(self.fs) is LocalFS:
+                    footer = self._footer_stats_zones(out_dir, written, m, zone_cols)
+                if footer is not None:
+                    stats_rows, zones = footer
+                    zones_done = True
+                else:
+                    # fallback: one narrow column-pruned read-back computes
+                    # the lineage stats AND the zone-map bounds AND the key
+                    # blooms (same pass, same files)
+                    back_cols = dict.fromkeys(
+                        ["b", SEQ_COL, DELETED_COL, *zone_cols]
+                        + (m["key"] if bloom_on else [])
                     )
-                    .collect()
-                )
-                if bloom_on:
-                    blooms = self._blooms_from_rows(m, collected)
-                stats_rows = [
-                    (
-                        int(r["b"]),
-                        r["applied_max_seq"],
-                        r["n"] - r["rows_deleted"],
-                        r["rows_deleted"],
+                    back = self.spark.read.parquet(out_dir).select(*back_cols)
+                    collected = (
+                        back.groupBy("b")
+                        .agg(
+                            F.max(SEQ_COL).alias("applied_max_seq"),
+                            F.count(F.lit(1)).alias("n"),
+                            # coalesce: with the TRUE-or-NULL tombstone
+                            # coding a delete-free bucket sums NULL, not 0
+                            F.coalesce(
+                                F.sum(F.col(DELETED_COL).cast("long")), F.lit(0)
+                            ).alias("rows_deleted"),
+                            *self._zone_aggs(m, zone_cols),
+                            *(self._bloom_aggs(m) if bloom_on else []),
+                        )
+                        .collect()
                     )
-                    for r in collected
-                ]
-                zones = self._zones_from_rows(collected, zone_cols)
+                    if bloom_on:
+                        blooms = self._blooms_from_rows(m, collected)
+                    stats_rows = [
+                        (
+                            int(r["b"]),
+                            r["applied_max_seq"],
+                            r["n"] - r["rows_deleted"],
+                            r["rows_deleted"],
+                        )
+                        for r in collected
+                    ]
+                    zones = self._zones_from_rows(collected, zone_cols)
         if affected is None:
             affected = sorted(written)
         if not written and not affected:
             return self._commit_noop(m, batch_key, commit_retries=commit_retries)
-        if written and ((not zones and zone_cols) or (bloom_on and not blooms)):
+        if written and (
+            (not zones_done and not zones and zone_cols) or (bloom_on and not blooms)
+        ):
             # cow / Observation paths: dedicated narrow zone+bloom read-back
             sel = dict.fromkeys(
                 ["b", *zone_cols] + (m["key"] if bloom_on else [])

@@ -48,6 +48,12 @@ def build_session(
         # match the reference's 10k-row projection batch (handler.go:17)
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.parquet.compression.codec", "snappy")
+        # INT64 micros instead of the deprecated INT96: identical values
+        # on read (Spark's internal timestamp IS micros), and footer
+        # min/max statistics exist — the lake's merge path derives its
+        # zone maps from them with no read-back job (table.py
+        # _footer_stats_zones); INT96 carries no usable statistics
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.sql.files.maxPartitionBytes", "134217728")

@@ -931,3 +931,68 @@ def test_rebucket_partition_evolution(spark, tmp_path, changes):
     got = _sorted_state(t.read())
     exp = _sorted_state(expected_final_state(changes))
     assert got == exp
+
+
+def test_footer_stats_match_spark_readback(spark, tmp_path, changes, monkeypatch):
+    """r6: MoR lineage stats/zones/watermarks come from parquet footers
+    (no read-back job). They must be IDENTICAL to what the Spark
+    read-back derives — metrics feed the cdc_batch_metrics oracle query
+    and zones drive file pruning."""
+
+    def replay(path, force_fallback):
+        t = LakeTable.create(spark, str(path), PAGE_COLS, n_buckets=8)
+        if force_fallback:
+            monkeypatch.setattr(
+                LakeTable, "_footer_stats_zones", lambda self, *a, **kw: None
+            )
+        for i in range(3):
+            t.merge(
+                changes.filter(F.col("seq") % 3 == i), batch_key=("q", i)
+            )
+        return t
+
+    t_footer = replay(tmp_path / "footer", force_fallback=False)
+    t_spark = replay(tmp_path / "fallback", force_fallback=True)
+
+    # identical per-bucket lineage metrics (version, qid, bid, b, mx, up, dl)
+    mf = sorted(tuple(r) for r in t_footer.metrics().collect())
+    ms = sorted(tuple(r) for r in t_spark.metrics().collect())
+    assert mf == ms and mf
+    # identical watermarks
+    assert t_footer.resume_watermarks() == t_spark.resume_watermarks()
+    # identical zone bounds on every live entry (keyed by bucket+entry idx)
+    def zmap(t):
+        m = t.manifest()
+        return {
+            (b, i): e.get("zones")
+            for b, es in m["buckets"].items()
+            for i, e in enumerate(es)
+        }
+    zf, zs = zmap(t_footer), zmap(t_spark)
+    assert zf == zs and any(z for z in zf.values())
+    # identical visible state, and _deleted reads as plain false/true
+    got = {(r["url"], r["warc_ts"], r["_deleted"], r["_seq"])
+           for r in t_footer.read(include_deleted=True).collect()}
+    exp = {(r["url"], r["warc_ts"], r["_deleted"], r["_seq"])
+           for r in t_spark.read(include_deleted=True).collect()}
+    assert got == exp
+    assert all(r[2] in (True, False) for r in got)
+
+
+def test_footer_stats_all_null_zone_col(spark, tmp_path):
+    """All-null warc_ts (a nullable key col): footer path must omit the
+    zone bounds exactly like the Spark min/max (which skip nulls), and
+    still count tombstones right."""
+    t = LakeTable.create(spark, str(tmp_path / "t"), PAGE_COLS, n_buckets=2)
+    b = spark.createDataFrame(
+        [("I", 1, "https://a/x", None, None, "v1", "en"),
+         ("D", 2, "https://b/y", None, None, None, None)],
+        "op string, seq bigint, url string, warc_ts timestamp, "
+        "html binary, text string, lang string",
+    )
+    s = t.merge(b, batch_key=("q", 0))
+    assert s.rows_upserted == 1 and s.rows_deleted == 1
+    m = t.manifest()
+    for es in m["buckets"].values():
+        for e in es:
+            assert "zones" not in e or "warc_ts" not in (e.get("zones") or {})
