@@ -1192,27 +1192,36 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     n_part = spark.sparkContext.defaultParallelism * 2
 
-    def band_pairs(bcol: str, not_already: str | None) -> DataFrame:
-        lf, rt = blocked_self_join(sigb, [bcol], "doc_id", chunk=1024)
-        # explicit-N repartition on the join keys: the join INPUT is a
-        # few MB of narrow rows, so AQE coalesces the planner's
-        # exchanges to 1-2 partitions — but the join OUTPUT is ~1000x
-        # its input (quadratic pair generation), which AQE cannot see.
-        # User-fixed partitioning is respected and satisfies the join's
-        # clustering requirement, keeping the generation on N tasks.
-        keys = [bcol, "__ci", "__cj"]
-        j = (
-            lf.repartition(n_part, *keys).alias("a")
-            .join(rt.repartition(n_part, *keys).alias("b"), keys)
-            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        )
-        if not_already is not None:
-            j = j.filter(F.col(f"a.{not_already}") != F.col(f"b.{not_already}"))
-        return j.select(
-            F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2")
-        )
+    # r6b: ONE fused join for both bands instead of a union of two
+    # per-band joins. Buckets are keyed (band, bi) so a band-1 bucket can
+    # never meet a band-2 bucket, and the band-2 "not already in band 1"
+    # condition becomes a row filter (bi = 1 OR a.b1 != b.b1) — exactly
+    # the two-join result set. Measured motivation: every phase of this
+    # query runs 2-4x slower on its FIRST execution in a session
+    # (codegen + JIT warmup of fresh generated classes); the fused join
+    # compiles ONE pair-generation pipeline instead of two near-identical
+    # ones and runs both bands' quadratic generation in one stage wave.
+    bands = sigb.select(
+        "doc_id",
+        "b1",
+        F.posexplode(F.array("b1", "b2")).alias("bi0", "band"),
+    ).select("doc_id", "b1", (F.col("bi0") + 1).alias("bi"), "band")
 
-    return band_pairs("b1", None).unionByName(band_pairs("b2", "b1"))
+    lf, rt = blocked_self_join(bands, ["band", "bi"], "doc_id", chunk=1024)
+    # explicit-N repartition on the join keys: the join INPUT is a few MB
+    # of narrow rows, so AQE coalesces the planner's exchanges to 1-2
+    # partitions — but the join OUTPUT is ~1000x its input (quadratic
+    # pair generation), which AQE cannot see. User-fixed partitioning is
+    # respected and satisfies the join's clustering requirement, keeping
+    # the generation on N tasks.
+    keys = ["band", "bi", "__ci", "__cj"]
+    return (
+        lf.repartition(n_part, *keys).alias("a")
+        .join(rt.repartition(n_part, *keys).alias("b"), keys)
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .filter((F.col("a.bi") == 1) | (F.col("a.b1") != F.col("b.b1")))
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+    )
 
 
 # shared tok/sig/bands CTE body (DuckDB) — the md5 bucketing both oracle

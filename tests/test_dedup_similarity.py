@@ -62,11 +62,11 @@ def test_minhash_dedup_finds_near_dups(spark, near_dups):
 def test_minhash_lsh_query_runs_signature_pipeline_once(spark):
     """r6: the signature table is localCheckpointed at query-build time,
     so the pair-generation plan reads the materialized (doc_id, b1, b2)
-    rows — NO parquet re-scan in any of the four chunk-join sides (the
-    r5 ReuseExchange trick covered only two) — and the band-2 join's
-    b1-inequality filter replaces the old billion-row distinct, so no
-    aggregate remains in the pair plan. The emitted pair set must equal
-    the r5 bucket-join + distinct formulation exactly."""
+    rows — NO parquet re-scan on either side of the fused (band, bi)
+    chunk-join — and the (bi = 1 OR a.b1 != b.b1) filter replaces the
+    old billion-row distinct, so no aggregate remains in the pair plan.
+    The emitted pair set must equal the r5 bucket-join + distinct
+    formulation exactly."""
     from go_bqloader_spark.plans.queries import (
         _minhash_bands, load as _load, q_minhash_lsh,
     )
