@@ -70,6 +70,53 @@ def gen_events(n: int, rng: np.random.Generator) -> pa.Table:
     })
 
 
+def _dates(rng, n, lo="1995-01-01", hi="2001-11-01"):
+    a, b = np.datetime64(lo), np.datetime64(hi)
+    span = int((b - a) / np.timedelta64(1, "D"))
+    return (a + rng.integers(0, span, n).astype("timedelta64[D]")).astype(
+        "datetime64[us]"
+    )
+
+
+def gen_lineitem(n: int, n_orders: int, rng: np.random.Generator) -> pa.Table:
+    return pa.table({
+        "l_orderkey": pa.array(rng.integers(0, n_orders, n), pa.int64()),
+        "l_partkey": pa.array(rng.integers(0, n // 30, n), pa.int64()),
+        "l_suppkey": pa.array(rng.integers(0, max(1, n // 600), n), pa.int64()),
+        "l_linenumber": pa.array(rng.integers(1, 8, n).astype(np.int32), pa.int32()),
+        "l_quantity": pa.array(rng.integers(1, 51, n).astype(np.float64), pa.float64()),
+        "l_extendedprice": pa.array(np.round(rng.uniform(900, 100000, n), 2), pa.float64()),
+        "l_discount": pa.array(np.round(rng.uniform(0, 0.1, n), 2), pa.float64()),
+        "l_tax": pa.array(np.round(rng.uniform(0, 0.08, n), 2), pa.float64()),
+        "l_returnflag": pa.array(rng.choice(["N", "A", "R"], n, p=[0.5, 0.25, 0.25]), pa.string()),
+        "l_linestatus": pa.array(rng.choice(["O", "F"], n), pa.string()),
+        "l_shipdate": pa.array(_dates(rng, n), pa.timestamp("us")),
+    })
+
+
+def gen_orders(n: int, n_cust: int, rng: np.random.Generator) -> pa.Table:
+    prio = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    return pa.table({
+        "o_orderkey": pa.array(np.arange(n), pa.int64()),
+        "o_custkey": pa.array(rng.integers(0, n_cust, n), pa.int64()),
+        "o_orderstatus": pa.array(rng.choice(["O", "F", "P"], n), pa.string()),
+        "o_totalprice": pa.array(np.round(rng.uniform(1000, 500000, n), 2), pa.float64()),
+        "o_orderdate": pa.array(_dates(rng, n, "1995-01-01", "1998-08-01"), pa.timestamp("us")),
+        "o_orderpriority": pa.array(rng.choice(prio, n), pa.string()),
+    })
+
+
+def gen_customer(n: int, rng: np.random.Generator) -> pa.Table:
+    seg = ["FURNITURE", "MACHINERY", "AUTOMOBILE", "BUILDING", "HOUSEHOLD"]
+    return pa.table({
+        "c_custkey": pa.array(np.arange(n), pa.int64()),
+        "c_name": pa.array([f"Customer#{i:09d}" for i in range(n)], pa.string()),
+        "c_nationkey": pa.array(rng.integers(0, 25, n), pa.int64()),
+        "c_acctbal": pa.array(np.round(rng.uniform(-999, 9999, n), 2), pa.float64()),
+        "c_mktsegment": pa.array(rng.choice(seg, n), pa.string()),
+    })
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="/tmp/sfmirror1.0")
@@ -84,7 +131,19 @@ def main() -> None:
                    os.path.join(args.out, "embeddings.parquet"))
     pq.write_table(gen_events(100000 * args.mult, rng),
                    os.path.join(args.out, "events.parquet"))
-    print(f"wrote documents/embeddings/events x{args.mult} to {args.out}")
+    n_orders = 150000 * args.mult
+    pq.write_table(gen_lineitem(600000 * args.mult, n_orders, rng),
+                   os.path.join(args.out, "lineitem.parquet"))
+    pq.write_table(gen_orders(n_orders, 15000 * args.mult, rng),
+                   os.path.join(args.out, "orders.parquet"))
+    pq.write_table(gen_customer(15000 * args.mult, rng),
+                   os.path.join(args.out, "customer.parquet"))
+    # fixed-size dimension tables: copy the sf0.1 originals verbatim
+    import shutil
+    for t in ("nation", "region", "part", "supplier"):
+        shutil.copy(f"/root/testdata/sf0.1/{t}.parquet",
+                    os.path.join(args.out, f"{t}.parquet"))
+    print(f"wrote full table mirror x{args.mult} to {args.out}")
 
 
 if __name__ == "__main__":
