@@ -293,6 +293,30 @@ def ngram_jaccard_pairs(
     )
 
 
+def _min_root_labels(rows) -> list[tuple]:
+    """Exact min-root union-find over collected (a, b) edge rows:
+    returns [(node, component_min)] for every node that appears in an
+    edge (singletons are absent — callers coalesce to the node id).
+    Union-by-value keeps the smaller root, so each tree's root IS the
+    component minimum at every step."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for row in rows:
+        ra, rb = find(row["a"]), find(row["b"])
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return [(n, find(n)) for n in list(parent)]
+
+
 def connected_components(
     edges: DataFrame,
     vertices: DataFrame | None = None,
@@ -351,6 +375,32 @@ def connected_components(
         nodes = und.select("a").distinct()
     identity = nodes.select("a", F.col("a").alias("lbl"))
 
+    # (0 — r6b) early driver finish: ``und`` is already materialized, so
+    # counting it is one tiny job. Below the gate the hop/contract
+    # machinery (2 join jobs + 2 checkpoints, each label-sized but each
+    # paying full Spark job latency) is skipped outright: collect the
+    # bounded edge list, run the same exact min-root union-find, and
+    # label every vertex with one broadcast join. Same bounded-metadata
+    # rule and the same gate as the quotient-graph finish below (x2:
+    # ``und`` carries both directions of each edge); the distributed
+    # path above the gate — the 10^10-doc shape — is unchanged.
+    if und.count() <= 2 * driver_finish_max_edges:
+        mapping = _min_root_labels(und.collect())
+        spark = edges.sparkSession
+        a_type = und.schema["a"].dataType.simpleString()
+        if mapping:
+            lbl_df = spark.createDataFrame(mapping, f"a {a_type}, lbl {a_type}")
+        else:
+            lbl_df = und.select("a", F.col("a").alias("lbl")).limit(0)
+        cl = lbl_df.select(F.col("a").alias("__n"), F.col("lbl").alias("__l2"))
+        return (
+            nodes.join(F.broadcast(cl), nodes["a"] == cl["__n"], "left")
+            .select(
+                F.col("a").alias(id_col),
+                F.coalesce("__l2", "a").alias("cluster_id"),
+            )
+        )
+
     # (1) one hop over the full edge set (initial labels are the ids, so
     # nbr_min is just min(neighbor id) — no label join needed yet)
     nbr_min = (
@@ -390,22 +440,7 @@ def connected_components(
     # shape).
     n_cedges = cund.count()
     if n_cedges <= driver_finish_max_edges:
-        parent: dict = {}
-
-        def find(x):
-            r = x
-            while parent.get(r, r) != r:
-                r = parent[r]
-            while parent.get(x, x) != x:  # path compression
-                parent[x], x = r, parent[x]
-            return r
-
-        for row in cund.collect():
-            ra, rb = find(row["a"]), find(row["b"])
-            if ra != rb:
-                lo, hi = (ra, rb) if ra < rb else (rb, ra)
-                parent[hi] = lo
-        mapping = [(n, find(n)) for n in list(parent)]
+        mapping = _min_root_labels(cund.collect())
         spark = edges.sparkSession
         a_type = cund.schema["a"].dataType.simpleString()
         if mapping:

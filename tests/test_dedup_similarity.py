@@ -324,6 +324,16 @@ def test_connected_components_driver_finish_equals_loop(spark):
         ).collect()
     }
     assert via_driver == via_loop
+    # r6b three-way: a gate that skips the EARLY full-edge finish (und
+    # holds 2x|edges| rows > 2*gate) but still admits the contracted
+    # quotient graph exercises the middle hop/contract+union-find tier
+    via_quotient = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(
+            e, vertices=verts, id_col="doc_id", driver_finish_max_edges=300
+        ).collect()
+    }
+    assert via_driver == via_quotient
 
 
 def test_near_dup_clusters_end_to_end(spark):
