@@ -213,8 +213,15 @@ class NearDupIndex:
                 self.table._bucket_expr(im).alias("__b")
             ).distinct().collect()
         )
+        # every sweep read is PINNED to the snapshot its bucket ids were
+        # computed from (version=...): bucket membership is a function of
+        # the layout, and these DataFrames evaluate lazily inside the
+        # merges below — a concurrent rebucket between planning and
+        # evaluation would otherwise prune the NEW layout with OLD bucket
+        # ids and silently drop candidates/deletes. Decisions come from
+        # the pinned snapshot; the OCC merge validates the commit.
         oldb = (
-            self.table.read(buckets=probe)
+            self.table.read(version=im["version"], buckets=probe)
             .select(
                 "band_idx", "band_hash", *key, "sig",
                 F.concat_ws("\x00", *key).alias("__id"),
@@ -261,7 +268,7 @@ class NearDupIndex:
                     self.corpus._bucket_expr(cm).alias("__b")
                 ).distinct().collect()
             )
-            live = self.corpus.read(buckets=cbuckets).select(
+            live = self.corpus.read(version=cm["version"], buckets=cbuckets).select(
                 F.concat_ws("\x00", *key).alias("__oid")
             )
             live_old = old_keys.join(live, "__oid", "semi").select("__oid")
@@ -302,7 +309,7 @@ class NearDupIndex:
         )
         idx_m = self.table.manifest()
         old_loser_bands = (
-            self.table.read(buckets=probe)
+            self.table.read(version=idx_m["version"], buckets=probe)
             .withColumn("__id", F.concat_ws("\x00", *key))
             .join(losers, "__id", "semi")
             .select(
@@ -389,7 +396,8 @@ class NearDupIndex:
         )
         if not buckets:
             return self.spark.createDataFrame([], "op string, seq bigint")
-        narrow = self.corpus.read(buckets=buckets).select(
+        # pinned to the decision snapshot — see the update() comment
+        narrow = self.corpus.read(version=cm["version"], buckets=buckets).select(
             F.concat_ws("\x00", *key).alias("__id"), *key, F.col(SEQ_COL)
         )
         return narrow.join(losers, "__id").select(

@@ -1725,13 +1725,19 @@ class LakeTable:
         whose manifest watermark is <= ``seq`` are pruned without any
         storage access — an idle consumer on a mostly-cold table reads
         nothing but the manifest."""
-        wms = self.resume_watermarks()
+        # ONE manifest read pins both the watermark pruning and the data
+        # read to the same snapshot: deriving hot bucket ids from one
+        # version and lazily reading another (e.g. after a concurrent
+        # rebucket) would prune the new layout with stale ids
+        m = self.manifest()
+        wms = {int(b): s for b, s in m.get("watermarks", {}).items()}
         hot = [b for b, mx in wms.items() if mx > seq]
         if not hot:
-            m = self.manifest()
             empty = self.spark.createDataFrame([], self.spark_schema(m))
             return empty if include_deleted else empty.drop(DELETED_COL)
-        out = self.read(buckets=hot, include_deleted=include_deleted)
+        out = self.read(
+            version=m["version"], buckets=hot, include_deleted=include_deleted
+        )
         return out.filter(F.col(SEQ_COL) > seq)
 
     # --------------------------------------------------------------- expiry

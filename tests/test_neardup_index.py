@@ -186,3 +186,95 @@ def test_rebuild_gc_stale_rows_and_keeps_live(spark, tmp_path):
     t.merge(_batch(spark, [(4, "u/live2", SOLO2 + " extra")]), batch_key=("feed", 2))
     r = idx.update(batch_id=1)
     assert r.new_docs == 1
+
+
+def _arm_race_on_first_cas(table, action):
+    """Make the FIRST manifest CAS on ``table``'s fs run ``action()``
+    (through an independent handle) before the CAS proceeds — the same
+    interleaving seam as tests/test_concurrent_writers.py."""
+    orig = table.fs.create_exclusive
+    state = {"armed": True}
+
+    def hook(path, data):
+        if state["armed"] and "_manifests" in path:
+            state["armed"] = False
+            action()
+        return orig(path, data)
+
+    table.fs.create_exclusive = hook
+
+
+def test_sweep_races_concurrent_compact(spark, tmp_path):
+    """VERDICT r5 #4: a corpus compaction committing between the sweep's
+    snapshot read and its tombstone merge must not lose the dedup — the
+    delta-append merge rebases and the live set equals a race-free run."""
+    rows = [(1, "u/a2", FAM_A), (2, "u/a3", FAM_A), (3, "u/s1", SOLO1)]
+
+    ref = _corpus(spark, tmp_path, "ref")
+    ridx = NearDupIndex.create(spark, str(tmp_path / "ridx"), ref, n_buckets=8)
+    ref.merge(_batch(spark, rows), batch_key=("feed", 0))
+    ridx.update(batch_id=0)
+
+    inc = _corpus(spark, tmp_path, "inc")
+    idx = NearDupIndex.create(spark, str(tmp_path / "idx"), inc, n_buckets=8)
+    inc.merge(_batch(spark, rows), batch_key=("feed", 0))
+    other = LakeTable(spark, str(tmp_path / "inc"))  # independent handle
+    _arm_race_on_first_cas(inc, lambda: other.compact(min_entries=1))
+    r = idx.update(batch_id=0)
+
+    assert r.removed == 1  # a3 still loses to a2 despite the interleaving
+    assert _live_urls(inc) == _live_urls(ref) == ["u/a2", "u/s1"]
+    # the sweep is caught up: a follow-up pass finds nothing new
+    r2 = idx.update(batch_id=1)
+    assert r2.new_docs == 0 and r2.removed == 0
+
+
+def test_sweep_races_concurrent_rebucket(spark, tmp_path, monkeypatch):
+    """VERDICT r5 #4, the layout-changing case: a rebucket commits while
+    the sweep is mid-decision (here: right before it builds the
+    tombstone reads — the widest point of the window). An UNPINNED
+    corpus read would resolve the POST-rebucket manifest but prune it
+    with the 4-bucket ids computed from the captured snapshot — a key
+    keeps its old bucket id with only P=1/4 under the 16-bucket layout,
+    so with 8 token-disjoint loser families at least one delete is
+    dropped almost surely (verified red without the version pin). The
+    pinned-snapshot reads + the OCC merge retry must converge to the
+    race-free live set under the NEW layout."""
+    rows, urls = [], []
+    for i in range(8):  # 8 families x 2 identical docs -> 8 losers
+        # token-DISJOINT families (cross-family jaccard = 0): shared
+        # filler words would put every doc in one giant cluster
+        fam = " ".join(f"fam{i}tok{j}" for j in range(16))
+        rows += [(2 * i + 1, f"u/f{i}a", fam), (2 * i + 2, f"u/f{i}b", fam)]
+        urls.append(f"u/f{i}a")
+    rows.append((100, "u/s1", SOLO1))
+    urls.append("u/s1")
+
+    ref = _corpus(spark, tmp_path, "ref")
+    ridx = NearDupIndex.create(spark, str(tmp_path / "ridx"), ref, n_buckets=8)
+    ref.merge(_batch(spark, rows), batch_key=("feed", 0))
+    r_ref = ridx.update(batch_id=0)
+    assert r_ref.removed == 8
+
+    inc = _corpus(spark, tmp_path, "inc")
+    idx = NearDupIndex.create(spark, str(tmp_path / "idx"), inc, n_buckets=8)
+    inc.merge(_batch(spark, rows), batch_key=("feed", 0))
+    other = LakeTable(spark, str(tmp_path / "inc"))
+
+    orig_vdp = NearDupIndex._victim_deletes_pruned
+    state = {"armed": True}
+
+    def vdp_with_race(self, cm, losers, allb):
+        if state["armed"]:
+            state["armed"] = False
+            other.rebucket(16)  # commits between decision and reads
+        return orig_vdp(self, cm, losers, allb)
+
+    monkeypatch.setattr(NearDupIndex, "_victim_deletes_pruned", vdp_with_race)
+    r = idx.update(batch_id=0)
+
+    assert r.removed == 8  # every f{i}b loses to f{i}a
+    assert inc.manifest()["n_buckets"] == 16
+    assert _live_urls(inc) == _live_urls(ref) == sorted(urls)
+    r2 = idx.update(batch_id=1)
+    assert r2.new_docs == 0 and r2.removed == 0
